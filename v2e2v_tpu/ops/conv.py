@@ -1,0 +1,236 @@
+"""Functional conv primitives and recurrent conv cells (NHWC, TPU-first).
+
+Behavioral spec from reference ``e2v/base_layers.py`` (lsying009/V2E2V):
+reflect-padded Conv2d (:135-161), ConvLSTM cell (:75-130), ConvLSTC sparse-code
+cell (:38-71), bilinear-upsample conv (:166-210). Re-designed as pure
+functions over explicit parameter pytrees:
+
+- activations are NHWC (channel-last — the natural TPU layout: the channel
+  axis lands on the 128-wide lane dimension),
+- weights are HWIO; torch OIHW checkpoints convert via ``transpose(2,3,1,0)``,
+- gate convs keep the torch output-channel ordering so converted checkpoints
+  are bit-compatible,
+- no hidden state: recurrent cells are ``(params, x, state) -> (y, state)``
+  steps designed to sit inside ``jax.lax.scan``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# initializers (match torch Conv2d defaults: kaiming_uniform(a=sqrt(5)) =>
+# U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both weight and bias)
+# ---------------------------------------------------------------------------
+
+def conv_init(key: jax.Array, in_ch: int, out_ch: int, k: int, bias: bool = True) -> Params:
+    fan_in = in_ch * k * k
+    bound = 1.0 / math.sqrt(fan_in)
+    k_w, k_b = jax.random.split(key)
+    params = {
+        "weight": jax.random.uniform(
+            k_w, (k, k, in_ch, out_ch), jnp.float32, -bound, bound
+        )
+    }
+    if bias:
+        params["bias"] = jax.random.uniform(k_b, (out_ch,), jnp.float32, -bound, bound)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# conv application
+# ---------------------------------------------------------------------------
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(
+    x: jax.Array,
+    params: Params,
+    stride: int = 1,
+    padding: int = 0,
+    pad_mode: str = "reflect",
+) -> jax.Array:
+    """Conv2d with explicit (default reflect) padding, matching torch
+    ``nn.Conv2d(..., padding_mode='reflect')`` (``base_layers.py:140``)."""
+    w = params["weight"]
+    if padding > 0:
+        x = jnp.pad(
+            x,
+            ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+            mode=pad_mode if pad_mode != "zeros" else "constant",
+        )
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+_ACTIVATIONS = {
+    None: lambda x: x,
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+}
+
+
+def conv_layer(
+    x: jax.Array,
+    params: Params,
+    stride: int = 1,
+    padding: int = 0,
+    activation: str | None = None,
+) -> jax.Array:
+    """Reference ``ConvLayer`` (:135-161): reflect conv + optional activation."""
+    return _ACTIVATIONS[activation](conv2d(x, params, stride=stride, padding=padding))
+
+
+# ---------------------------------------------------------------------------
+# bilinear resize (both torch align_corners conventions)
+# ---------------------------------------------------------------------------
+
+def bilinear_resize(
+    x: jax.Array, out_h: int, out_w: int, align_corners: bool = False
+) -> jax.Array:
+    """Bilinear resize of NHWC input.
+
+    ``align_corners=False`` matches torch ``F.interpolate(mode='bilinear')``
+    (half-pixel centers == ``jax.image.resize``); ``align_corners=True``
+    matches the Super-SloMo decoder convention.
+    """
+    n, h, w, c = x.shape
+    if not align_corners:
+        return jax.image.resize(x, (n, out_h, out_w, c), method="linear")
+
+    def axis_coords(out_size, in_size):
+        if out_size == 1 or in_size == 1:
+            return jnp.zeros((out_size,), jnp.float32)
+        scale = (in_size - 1) / (out_size - 1)
+        return jnp.arange(out_size, dtype=jnp.float32) * scale
+
+    ys = axis_coords(out_h, h)
+    xs = axis_coords(out_w, w)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
+    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
+
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return (top * (1 - wy) + bot * wy).astype(x.dtype)
+
+
+def upsample_conv_layer(
+    x: jax.Array,
+    params: Params,
+    kernel_size: int = 3,
+    activation: str | None = None,
+    out_hw: tuple[int, int] | None = None,
+) -> jax.Array:
+    """Reference ``UpsampleConvLayer`` (:166-210): bilinear 2x upsample
+    (align_corners=False) -> reflection pad (k-1)/2 -> valid conv."""
+    n, h, w, c = x.shape
+    out_h, out_w = (2 * h, 2 * w) if out_hw is None else out_hw
+    x = bilinear_resize(x, out_h, out_w, align_corners=False)
+    pad = (kernel_size - 1) // 2
+    return _ACTIVATIONS[activation](conv2d(x, params, stride=1, padding=pad))
+
+
+# ---------------------------------------------------------------------------
+# recurrent cells
+# ---------------------------------------------------------------------------
+
+def conv_lstm_init(key: jax.Array, input_size: int, hidden_size: int, k: int = 3) -> Params:
+    return {"Gates": conv_init(key, input_size + hidden_size, 4 * hidden_size, k)}
+
+
+def conv_lstm_step(
+    params: Params,
+    x: jax.Array,
+    state: tuple[jax.Array, jax.Array],
+    k: int = 3,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """ConvLSTM step (``base_layers.py:75-130``).
+
+    ``state = (hidden, cell)``; gate channel order is torch's
+    (in, remember, out, cell). Designed as a ``lax.scan`` body.
+    """
+    hidden, cell = state
+    gates = conv2d(jnp.concatenate([x, hidden], axis=-1), params["Gates"], padding=k // 2)
+    in_g, rem_g, out_g, cell_g = jnp.split(gates, 4, axis=-1)
+    in_g = jax.nn.sigmoid(in_g)
+    rem_g = jax.nn.sigmoid(rem_g)
+    out_g = jax.nn.sigmoid(out_g)
+    cell_g = jnp.tanh(cell_g)
+    cell = rem_g * cell + in_g * cell_g
+    hidden = out_g * jnp.tanh(cell)
+    return hidden, (hidden, cell)
+
+
+def conv_lstm_zero_state(batch: int, h: int, w: int, hidden_size: int, dtype=jnp.float32):
+    z = jnp.zeros((batch, h, w, hidden_size), dtype)
+    return (z, z)
+
+
+def conv_lstc_init(
+    key: jax.Array, x_size: int, z_size: int, output_size: int, k: int = 3
+) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "gates": conv_init(k1, x_size + z_size, 2 * output_size, k),
+        "out_gates": conv_init(k2, z_size + output_size, output_size, k),
+        "P0": conv_init(k3, x_size, output_size, k),
+    }
+
+
+def conv_lstc_step(
+    params: Params,
+    x: jax.Array,
+    z: jax.Array,
+    prev_cell: jax.Array,
+    k: int = 3,
+) -> tuple[jax.Array, jax.Array]:
+    """ConvLSTC step for sparse codes (``base_layers.py:38-71``).
+
+    in/forget gates from cat(x, z); candidate ``z0 = P0(x)``; out gate from
+    cat(z0, z); ``cell = forget*prev_cell + in*z0``;
+    ``out = out_gate * tanh(cell)``. Returns ``(out, cell)``.
+    """
+    pad = k // 2
+    gates = conv2d(jnp.concatenate([x, z], axis=-1), params["gates"], padding=pad)
+    in_g, forget_g = jnp.split(gates, 2, axis=-1)
+    in_g = jax.nn.sigmoid(in_g)
+    forget_g = jax.nn.sigmoid(forget_g)
+    z0 = conv2d(x, params["P0"], padding=pad)
+    out_g = jax.nn.sigmoid(
+        conv2d(jnp.concatenate([z0, z], axis=-1), params["out_gates"], padding=pad)
+    )
+    cell = forget_g * prev_cell + in_g * z0
+    out = out_g * jnp.tanh(cell)
+    return out, cell
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion helper
+# ---------------------------------------------------------------------------
+
+def torch_conv_to_hwio(weight: np.ndarray) -> np.ndarray:
+    """torch OIHW conv weight -> HWIO."""
+    return np.transpose(weight, (2, 3, 1, 0))
