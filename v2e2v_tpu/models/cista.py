@@ -1,0 +1,281 @@
+"""CISTA reconstruction networks (events-to-video), TPU-first.
+
+Behavioral spec from reference ``e2v/e2v_model.py`` (lsying009/V2E2V):
+
+- ``CistaLSTCNet`` (:5-90): event/image heads -> stride-2 downsample ->
+  ConvLSTC sparse-code init -> depth unrolled ISTA iterations with learned
+  per-channel soft-thresholds -> ConvLSTM decoder -> bilinear-upsample conv ->
+  sigmoid. The reference builds ONE ``IstaBlock`` instance and repeats it in
+  an ``nn.ModuleList`` (:26-27), so all depth iterations share weights — that
+  weight tying is intentional here (and required for checkpoint parity).
+- ``CistaTCNet`` (:93-197): same ISTA skeleton with temporal-consistency
+  attention between the previous and current sparse code (:176-184). The
+  reference constructor is broken as shipped (no ``image_dim`` kwarg,
+  ``train_e2v.py:45`` passes one); we implement the working ``forward`` with
+  a correct constructor (SURVEY.md "known reference bugs").
+
+Design: pure functions over explicit parameter/state pytrees, NHWC layout,
+static depth unrolled in Python (depth is a small static constant — XLA fuses
+the shared-weight iterations), temporal recurrence via ``cista_sequence``'s
+``lax.scan``. State order mirrors the reference's ``states`` list
+``[P0 cell, sparse code z, Dg (h, c)]`` so ``prev_states[-2]`` == ``z``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import (
+    conv_init,
+    conv_layer,
+    conv_lstc_init,
+    conv_lstc_step,
+    conv_lstm_init,
+    conv_lstm_step,
+    upsample_conv_layer,
+)
+from ..ops.numerics import softshrink
+
+Params = dict[str, Any]
+
+
+@dataclass(frozen=True)
+class CistaConfig:
+    """Architecture config shared by cista-lstc / cista-tc.
+
+    ``image_dim`` is (H, W) of the event voxel grid (must be even: the net
+    downsamples by 2 and upsamples back). Defaults match the reference CLI
+    (``utils/configs.py:18-23``) for cista-lstc; the reference cista-tc
+    default was ``base_channels=32``.
+    """
+
+    image_dim: tuple[int, int] = (180, 240)
+    base_channels: int = 64
+    depth: int = 5
+    num_bins: int = 5
+    model_mode: str = "cista-lstc"
+
+
+class CistaState(NamedTuple):
+    """Recurrent state threaded between reconstructions.
+
+    Mirrors the reference states list (``e2v_model.py:69,80,83``):
+    ``cell`` = ConvLSTC cell (2C @ H/2; unused by cista-tc, kept zero there),
+    ``z`` = previous sparse code (2C @ H/2),
+    ``dg`` = decoder ConvLSTM (hidden, cell) (C @ H/2).
+    """
+
+    cell: jax.Array
+    z: jax.Array
+    dg: tuple[jax.Array, jax.Array]
+
+
+def cista_zero_state(cfg: CistaConfig, batch: int, dtype=jnp.float32) -> CistaState:
+    h2, w2 = cfg.image_dim[0] // 2, cfg.image_dim[1] // 2
+    c = cfg.base_channels
+    z2 = jnp.zeros((batch, h2, w2, 2 * c), dtype)
+    z1 = jnp.zeros((batch, h2, w2, c), dtype)
+    return CistaState(cell=z2, z=z2, dg=(z1, z1))
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _ista_block_init(key: jax.Array, c: int) -> Params:
+    """Shared ISTA block (``base_layers.py:21-35``): D (2C->C), P (C->2C),
+    learned per-channel soft-threshold Lambda ~ U[0, 0.001)."""
+    k_d, k_p, k_l = jax.random.split(key, 3)
+    return {
+        "D": conv_init(k_d, 2 * c, c, 3),
+        "P": conv_init(k_p, c, 2 * c, 3),
+        "Lambda": 0.001 * jax.random.uniform(k_l, (2 * c,), jnp.float32),
+    }
+
+
+def init_cista_lstc(key: jax.Array, cfg: CistaConfig) -> Params:
+    c = cfg.base_channels
+    keys = jax.random.split(key, 8)
+    return {
+        "We": conv_init(keys[0], cfg.num_bins, c // 2, 3),
+        "Wi": conv_init(keys[1], 1, c // 2, 3),
+        "W0": conv_init(keys[2], c, c, 3),
+        "P0": conv_lstc_init(keys[3], x_size=c, z_size=2 * c, output_size=2 * c),
+        "lista": _ista_block_init(keys[4], c),
+        "Dg": {
+            "conv": conv_init(keys[5], 2 * c, c, 3),
+            "lstm": conv_lstm_init(keys[6], c, c),
+        },
+        "upsamp_conv": conv_init(keys[7], c, c, 3),
+        "final_conv": conv_init(jax.random.fold_in(key, 99), c, 1, 3),
+    }
+
+
+def init_cista_tc(key: jax.Array, cfg: CistaConfig) -> Params:
+    c = cfg.base_channels
+    keys = jax.random.split(key, 10)
+    return {
+        "one_conv_for_prev": conv_init(keys[0], 2 * c, 1, 3),
+        "one_conv_for_cur": conv_init(keys[1], 2 * c, 1, 3),
+        # the reference repeats ONE alpha Parameter across depth (:107-108)
+        "alpha": 0.001 * jax.random.uniform(keys[2], (2 * c,), jnp.float32),
+        "We": conv_init(keys[3], cfg.num_bins, c // 2, 3),
+        "Wi": conv_init(keys[4], 1, c // 2, 3),
+        "W0": conv_init(keys[5], c, c, 3),
+        "P0": conv_init(keys[6], c, 2 * c, 3),
+        "lista": _ista_block_init(keys[7], c),
+        "Dg": {
+            "conv": conv_init(keys[8], 2 * c, c, 3),
+            "lstm": conv_lstm_init(keys[9], c, c),
+        },
+        "upsamp_conv": conv_init(jax.random.fold_in(key, 98), c, c, 3),
+        "final_conv": conv_init(jax.random.fold_in(key, 99), c, 1, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward steps
+# ---------------------------------------------------------------------------
+
+def _heads(params: Params, events: jax.Array, prev_image: jax.Array) -> jax.Array:
+    """Event/image heads + concat + stride-2 downsample (``e2v_model.py:62-66``)."""
+    x_e = conv_layer(events, params["We"], padding=1)
+    x_i = conv_layer(prev_image, params["Wi"], padding=1)
+    x1 = jnp.concatenate([x_e, x_i], axis=-1)
+    return conv_layer(x1, params["W0"], stride=2, padding=1)
+
+
+def _decode(params: Params, z: jax.Array, dg_state, out_hw) -> tuple[jax.Array, tuple]:
+    """Decoder: RecurrentConvLayer (conv+relu -> ConvLSTM) -> bilinear-upsample
+    conv (relu) -> final conv -> sigmoid (``e2v_model.py:82-88``)."""
+    x = conv_layer(z, params["Dg"]["conv"], padding=1, activation="relu")
+    rec, dg_state = conv_lstm_step(params["Dg"]["lstm"], x, dg_state)
+    rec = upsample_conv_layer(rec, params["upsamp_conv"], activation="relu", out_hw=out_hw)
+    rec = conv_layer(rec, params["final_conv"], padding=1)
+    return jax.nn.sigmoid(rec), dg_state
+
+
+def cista_lstc_step(
+    params: Params,
+    cfg: CistaConfig,
+    events: jax.Array,
+    prev_image: jax.Array,
+    state: CistaState,
+) -> tuple[jax.Array, CistaState]:
+    """One CISTA-LSTC reconstruction (``e2v_model.py:41-90``).
+
+    Args:
+      events: ``[B, H, W, num_bins]`` voxel grid (NHWC).
+      prev_image: ``[B, H, W, 1]`` previous reconstruction.
+      state: ``CistaState`` from the previous step (zeros at sequence start).
+    Returns ``(rec_image [B,H,W,1], new_state)``.
+    """
+    x1 = _heads(params, events, prev_image)
+
+    # ConvLSTC consumes the previous step's sparse code and its own cell
+    # (reference passes prev_states[-2] == z, prev_states[0] == cell, :68)
+    z, cell = conv_lstc_step(params["P0"], x1, state.z, state.cell)
+
+    lista = params["lista"]
+    lam = lista["Lambda"]
+    tmp = z
+    for _ in range(cfg.depth):
+        tmp = conv_layer(tmp, lista["D"], padding=1)
+        x = x1 - tmp
+        x = conv_layer(x, lista["P"], padding=1)
+        x = x + z
+        z = softshrink(x, lam)
+        tmp = z
+
+    rec, dg_state = _decode(params, z, state.dg, out_hw=cfg.image_dim)
+    return rec, CistaState(cell=cell, z=z, dg=dg_state)
+
+
+def cista_tc_step(
+    params: Params,
+    cfg: CistaConfig,
+    events: jax.Array,
+    prev_image: jax.Array,
+    state: CistaState,
+) -> tuple[jax.Array, CistaState]:
+    """One CISTA-TC reconstruction (``e2v_model.py:146-197``).
+
+    Temporal consistency: a sigmoid attention between 1-channel projections of
+    the previous and current codes gates ``alpha * (prev_z - tmp)`` added into
+    each ISTA iteration. ``state.cell`` is unused (kept for a uniform state
+    pytree). The reference's TC decoder upsample conv has NO activation
+    (``e2v_model.py:127``), unlike LSTC's relu.
+    """
+    x1 = _heads(params, events, prev_image)
+    z = conv_layer(x1, params["P0"], padding=1)
+    tmp = z
+    prev_z = state.z
+
+    one_ch_prev = conv_layer(prev_z, params["one_conv_for_prev"], padding=1)
+    lista = params["lista"]
+    lam = lista["Lambda"]
+    alpha = params["alpha"]
+    for _ in range(cfg.depth):
+        one_ch_cur = conv_layer(tmp, params["one_conv_for_cur"], padding=1)
+        attention = jax.nn.sigmoid(one_ch_prev * one_ch_cur)
+        temporal_z = attention * ((prev_z - tmp) * alpha)
+        tmp = conv_layer(tmp, lista["D"], padding=1)
+        x = x1 - tmp
+        x = conv_layer(x, lista["P"], padding=1)
+        x = x + z + temporal_z
+        z = softshrink(x, lam)
+        tmp = z
+
+    x = conv_layer(z, params["Dg"]["conv"], padding=1, activation="relu")
+    rec, dg_state = conv_lstm_step(params["Dg"]["lstm"], x, state.dg)
+    rec = upsample_conv_layer(rec, params["upsamp_conv"], activation=None, out_hw=cfg.image_dim)
+    rec = conv_layer(rec, params["final_conv"], padding=1)
+    rec = jax.nn.sigmoid(rec)
+    return rec, CistaState(cell=state.cell, z=z, dg=dg_state)
+
+
+def get_step_fn(cfg: CistaConfig):
+    if cfg.model_mode == "cista-lstc":
+        return cista_lstc_step
+    if cfg.model_mode == "cista-tc":
+        return cista_tc_step
+    raise ValueError(f"model_mode must be 'cista-lstc' or 'cista-tc', got {cfg.model_mode!r}")
+
+
+def cista_sequence(
+    params: Params,
+    cfg: CistaConfig,
+    voxel_seq: jax.Array,
+    prev_image: jax.Array | None = None,
+    state: CistaState | None = None,
+):
+    """Reconstruct a sequence of voxel grids with ``lax.scan``.
+
+    The reference rolls the model in Python feeding back
+    ``prev_img = output`` (``train_e2v.py:108-115``); here the whole
+    recurrence lives on-device in one compiled scan.
+
+    Args:
+      voxel_seq: ``[T, B, H, W, num_bins]``.
+    Returns ``(recs [T, B, H, W, 1], final_state)``.
+    """
+    t, b = voxel_seq.shape[0], voxel_seq.shape[1]
+    if state is None:
+        state = cista_zero_state(cfg, b, voxel_seq.dtype)
+    if prev_image is None:
+        prev_image = jnp.zeros(
+            (b, cfg.image_dim[0], cfg.image_dim[1], 1), voxel_seq.dtype
+        )
+    step = get_step_fn(cfg)
+
+    def body(carry, events):
+        prev_img, st = carry
+        rec, st = step(params, cfg, events, prev_img, st)
+        return (rec, st), rec
+
+    (_, final_state), recs = jax.lax.scan(body, (prev_image, state), voxel_seq)
+    return recs, final_state

@@ -1,0 +1,90 @@
+"""Mesh construction and pjit-sharded training steps.
+
+TPU-first scaling design (no reference analog — the torch repo is single-GPU,
+``train.py:2-13``):
+
+- mesh axes ``("data", "spatial")``: sequences are embarrassingly parallel
+  along ``data`` (the recurrence is serial in time, parallel across
+  sequences); ``spatial`` shards the image width across chips for the
+  fully-convolutional nets — XLA inserts halo exchanges for the 3x3 convs
+  and a final ``psum`` for the gradient all-reduce over both axes.
+- parameters are replicated; batches are sharded ``P(None, "data", None,
+  "spatial", None)`` for ``[T, B, H, W, C]`` sequences.
+- everything goes through ``jax.jit`` with ``NamedSharding`` annotations; no
+  hand-written collectives are needed for data/spatial parallel training.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.cista import CistaConfig, cista_sequence
+from ..training.losses import many_to_one_loss
+
+
+def make_mesh(n_data: int | None = None, n_spatial: int = 1, devices=None) -> Mesh:
+    """Build a ``(data, spatial)`` mesh.
+
+    Defaults to all available devices on the data axis. Pass
+    ``devices=jax.devices("cpu")`` for virtual-device testing.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_spatial
+    devices = np.asarray(devices[: n_data * n_spatial]).reshape(n_data, n_spatial)
+    return Mesh(devices, ("data", "spatial"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, time_leading: bool = True) -> NamedSharding:
+    """Sharding for ``[T, B, H, W, C]`` (or ``[B, H, W, C]``) arrays."""
+    if time_leading:
+        return NamedSharding(mesh, P(None, "data", None, "spatial", None))
+    return NamedSharding(mesh, P("data", None, "spatial", None))
+
+
+def make_e2v_train_step(
+    cfg: CistaConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    lpips_fn=None,
+):
+    """Build a pjit-compiled many-to-one E2V training step.
+
+    The recurrence over ``len_sequence`` reconstructions is a ``lax.scan``
+    (the BPTT window of ``train_e2v.py:108-115``); loss is computed on the
+    final reconstruction only, matching the reference's many-to-one strategy.
+
+    Step signature: ``(params, opt_state, voxel_seq [T,B,H,W,nb],
+    gt [B,H,W,1]) -> (params, opt_state, loss)``.
+    """
+    rep = replicated(mesh)
+    seq_shard = batch_sharding(mesh, time_leading=True)
+    gt_shard = batch_sharding(mesh, time_leading=False)
+
+    def loss_fn(params, voxel_seq, gt):
+        recs, _ = cista_sequence(params, cfg, voxel_seq)
+        return many_to_one_loss(recs[-1], gt, lpips_fn=lpips_fn)
+
+    def step(params, opt_state, voxel_seq, gt):
+        loss, grads = jax.value_and_grad(loss_fn)(params, voxel_seq, gt)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, seq_shard, gt_shard),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
