@@ -1,0 +1,215 @@
+"""V2E emulator: deterministic-case numpy oracle + state threading +
+diversity/refractory/noise properties."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from v2e2v_tpu.models.emulator import (
+    EmulatorConfig,
+    emulate_pack,
+)
+from v2e2v_tpu.ops.numerics import lin_log_np
+
+KEY = jax.random.PRNGKey(0)
+
+
+def det_cfg(**kw):
+    """Deterministic config: no threshold spread, no leak/shot/refractory."""
+    base = dict(
+        pos_thres=0.2,
+        neg_thres=0.2,
+        sigma_thres=0.0,
+        cutoff_hz=0.0,
+        leak_rate_hz=0.0,
+        refractory_period_s=0.0,
+        shot_noise_rate_hz=0.0,
+        num_bins=5,
+    )
+    base.update(kw)
+    return EmulatorConfig(**base)
+
+
+def numpy_oracle_voxel(frames, t_frames, cfg):
+    """Reference-semantics emulator for the deterministic case
+    (v2e_model.py:290-536 with sigma=leak=shot=refractory=cutoff=0),
+    implemented independently in numpy. Unnormalized voxel + event count."""
+    b, n, h, w = frames.shape
+    assert b == 1
+    nb = cfg.num_bins
+    duration = (nb - 1) / (n - 1)
+    time_frames = duration * np.arange(n)
+    frames_log = lin_log_np(frames).astype(np.float64)
+
+    base = frames_log[:, 0].copy()
+    voxel = np.zeros((nb, h, w), np.float64)
+    num_events = 0
+    for i in range(1, n):
+        diff = frames_log[:, i] - base
+        diff[np.abs(diff) <= 1e-6] = 0.0
+        pol = np.sign(diff)
+        c = np.where(pol > 0, cfg.pos_thres, 0.0) + np.where(pol < 0, cfg.neg_thres, 0.0)
+        counts = np.floor(np.abs(diff) / (c + 1e-9)).astype(np.int64)
+        num_iters = max(int(counts.max()), 1)
+        num_iters = min(num_iters, cfg.max_iters)
+        ts_step = duration / num_iters
+        for it in range(num_iters):
+            mask = counts >= (it + 1)
+            ts = time_frames[i - 1] + ts_step * (it + 1)
+            ti = int(np.floor(ts))
+            dts = ts - ti
+            num_events += int(mask.sum())
+            ev = (pol * mask)[0]
+            if ti < nb:
+                voxel[ti] += ev * (1.0 - dts)
+            if ti + 1 < nb:
+                voxel[ti + 1] += ev * dts
+        base = base + pol * np.minimum(counts, num_iters) * c
+    return voxel.astype(np.float32), num_events
+
+
+def _unnormalized(cfg, frames, t):
+    """Run emulate_pack but recover the unnormalized grid via a no-std trick:
+    compare normalized output is hard, so instead test against oracle AFTER
+    normalizing the oracle the same way."""
+    from v2e2v_tpu.ops.voxel import event_preprocess_np
+
+    voxel, n_ev, state = emulate_pack(cfg, None, jnp.asarray(frames), jnp.asarray(t), key=KEY)
+    return np.asarray(voxel), int(n_ev), state
+
+
+def test_deterministic_matches_numpy_oracle():
+    from v2e2v_tpu.ops.voxel import event_preprocess_np
+
+    rng = np.random.default_rng(0)
+    h, w, n = 12, 16, 6
+    # smooth ramp video with spatial structure
+    basef = rng.uniform(30, 220, (h, w)).astype(np.float32)
+    frames = np.stack([basef * (1.0 + 0.08 * i) for i in range(n)], 0)[None]
+    frames = np.clip(frames, 0, 255)
+    t = np.linspace(0.0, 0.05, n, dtype=np.float32)[None]
+
+    cfg = det_cfg()
+    got_voxel, got_n, _ = _unnormalized(cfg, frames, t)
+
+    want_raw, want_n = numpy_oracle_voxel(frames, t, cfg)
+    want = event_preprocess_np(want_raw, mode="std", filter_hot_pixel=False)
+
+    assert got_n == want_n and got_n > 0
+    np.testing.assert_allclose(got_voxel[0], np.moveaxis(want, 0, -1), atol=2e-3)
+
+
+def test_state_threading_no_repeat_events():
+    """Feeding the identical frames again must produce ~no events (base frame
+    memorized across packs)."""
+    h, w, n = 8, 8, 4
+    frames = np.tile(
+        np.linspace(50, 200, h * w, dtype=np.float32).reshape(1, 1, h, w), (1, n, 1, 1)
+    )
+    frames = frames * np.array([1.0, 1.3, 1.6, 1.9], np.float32).reshape(1, n, 1, 1)
+    t1 = np.linspace(0.0, 0.03, n, dtype=np.float32)[None]
+    cfg = det_cfg()
+
+    _, n1, state = emulate_pack(cfg, None, jnp.asarray(frames), jnp.asarray(t1), key=KEY)
+    assert int(n1) > 0
+
+    # second pack: same last frame repeated -> zero diffs -> zero events
+    frames2 = np.tile(frames[:, -1:], (1, n, 1, 1))
+    t2 = t1 + 0.03
+    _, n2, state2 = emulate_pack(cfg, state, jnp.asarray(frames2), jnp.asarray(t2))
+    assert int(n2) == 0
+    assert float(state2.t_previous) > float(state.t_previous)
+
+
+def test_sensing_diversity_interleave():
+    """pl=1.5 / ps=0.5: lattice pixels get small thresholds, rest large."""
+    cfg = det_cfg(sigma_thres=0.03, pl=1.5, ps=0.5, pos_thres=0.6, neg_thres=0.6)
+    h, w, n = 32, 32, 3
+    frames = np.full((1, n, h, w), 100.0, np.float32) * np.array(
+        [1.0, 1.5, 2.0], np.float32
+    ).reshape(1, n, 1, 1)
+    t = np.linspace(0, 0.02, n, dtype=np.float32)[None]
+    _, _, state = emulate_pack(cfg, None, jnp.asarray(frames), jnp.asarray(t), key=KEY)
+
+    pos = np.asarray(state.pos_thres)[0]
+    lattice = pos[0::2, 0::2]
+    off_a = pos[1::2, 1::2]
+    assert abs(lattice.mean() - 0.5 * 0.6) < 0.02
+    assert abs(off_a.mean() - 1.5 * 0.6) < 0.02
+    assert (pos >= 0.01).all()
+
+
+def test_refractory_suppresses_events():
+    """A pixel with many events and a long refractory period emits fewer."""
+    h, w, n = 8, 8, 2
+    f0 = np.full((h, w), 40.0, np.float32)
+    f1 = np.full((h, w), 200.0, np.float32)
+    frames = np.stack([f0, f1], 0)[None]
+    # window 1 ms, refractory 1 ms -> Tr = (nb-1)*1 = 4 bins >> ts_step
+    t = np.array([[0.0, 0.001]], np.float32)
+
+    free = det_cfg()
+    refr = det_cfg(refractory_period_s=0.001)
+
+    _, n_free, _ = emulate_pack(free, None, jnp.asarray(frames), jnp.asarray(t), key=KEY)
+    _, n_refr, _ = emulate_pack(refr, None, jnp.asarray(frames), jnp.asarray(t), key=KEY)
+    assert int(n_refr) < int(n_free)
+    assert int(n_refr) >= (h * w)  # at least one event per pixel passes
+
+
+def test_shot_noise_adds_events():
+    h, w, n = 16, 16, 3
+    frames = np.full((1, n, h, w), 100.0, np.float32) * np.array(
+        [1.0, 1.02, 1.04], np.float32
+    ).reshape(1, n, 1, 1)
+    t = np.linspace(0, 0.1, n, dtype=np.float32)[None]
+    quiet = det_cfg()
+    noisy = det_cfg(shot_noise_rate_hz=5000.0)
+    _, n_q, _ = emulate_pack(quiet, None, jnp.asarray(frames), jnp.asarray(t), key=KEY)
+    _, n_n, _ = emulate_pack(noisy, None, jnp.asarray(frames), jnp.asarray(t), key=KEY)
+    assert int(n_n) > int(n_q)
+
+
+def test_cutoff_filter_reduces_fast_transients():
+    h, w = 8, 8
+    # a single-frame flash: lowpass should attenuate the response
+    frames = np.full((1, 4, h, w), 60.0, np.float32)
+    frames[:, 1] = 200.0
+    frames[:, 2] = 60.0
+    t = np.linspace(0, 0.004, 4, dtype=np.float32)[None]  # 1 kHz frames
+    plain = det_cfg()
+    filt = det_cfg(cutoff_hz=100.0)
+    _, n_plain, _ = emulate_pack(plain, None, jnp.asarray(frames), jnp.asarray(t), key=KEY)
+    _, n_filt, _ = emulate_pack(filt, None, jnp.asarray(frames), jnp.asarray(t), key=KEY)
+    assert int(n_filt) < int(n_plain)
+
+
+def test_endpoint_timestamps_linspace():
+    """[B,2] timestamps behave as linearly spaced interior stamps."""
+    h, w, n = 6, 6, 5
+    rng = np.random.default_rng(3)
+    base = rng.uniform(40, 200, (h, w)).astype(np.float32)
+    frames = np.stack([base * (1 + 0.1 * i) for i in range(n)], 0)[None]
+    frames = np.clip(frames, 0, 255)
+    t_full = np.linspace(0.0, 0.04, n, dtype=np.float32)[None]
+    t_ends = np.array([[0.0, 0.04]], np.float32)
+    cfg = det_cfg()
+    v1, n1, _ = emulate_pack(cfg, None, jnp.asarray(frames), jnp.asarray(t_full), key=KEY)
+    v2, n2, _ = emulate_pack(cfg, None, jnp.asarray(frames), jnp.asarray(t_ends), key=KEY)
+    assert int(n1) == int(n2)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+
+
+def test_voxel_output_normalized():
+    h, w, n = 10, 10, 4
+    rng = np.random.default_rng(4)
+    base = rng.uniform(40, 200, (h, w)).astype(np.float32)
+    frames = np.clip(np.stack([base * (1 + 0.15 * i) for i in range(n)], 0)[None], 0, 255)
+    t = np.linspace(0, 0.03, n, dtype=np.float32)[None]
+    v, n_ev, _ = emulate_pack(det_cfg(), None, jnp.asarray(frames), jnp.asarray(t), key=KEY)
+    v = np.asarray(v)
+    nz = v[v != 0]
+    assert int(n_ev) > 0 and nz.size > 0
+    assert abs(nz.mean()) < 1e-3 and abs(nz.std() - 1.0) < 1e-2

@@ -1,0 +1,345 @@
+"""DVS event-camera emulator with sensing diversity, TPU-first.
+
+Behavioral spec from reference ``v2e/v2e_model.py`` (lsying009/V2E2V, itself
+modified from SensorsINI/v2e):
+
+- ``_init`` (:156-240): per-pixel Gaussian contrast thresholds at ``pl*C``
+  with the ``[0::2, 0::2]`` lattice overwritten by ``ps*C`` draws (sensing
+  diversity), clamped >= 0.01; shot-noise probability scalers; log-normal
+  leak-rate array; refractory ``timestamp_mem`` initialized to ``-Tr``.
+- ``forward`` (:290-536): per frame pair — leak subtraction, diff against the
+  memorized base log frame, per-pixel event counts ``floor(|diff|/C)``, an
+  iteration loop emitting at most one event per pixel per iteration at
+  linearly spaced timestamps, refractory masking, optional shot noise, and
+  bilinear-in-time accumulation into a voxel grid; then
+  ``base += pol*count*C`` and zero-mean/unit-std normalization of the grid.
+
+TPU-first design (not a port):
+
+- **No scatters.** The reference scatter-adds events into the grid with
+  ``index_add_`` (:489-502). Here each iteration's event timestamp is a
+  per-batch scalar, so the bilinear-in-time split is a *dense* per-bin AXPY:
+  ``voxel[..., b] += max(0, 1 - |t - b|) * pol * mask`` — pure VPU work.
+- **Static shapes.** The data-dependent iteration count becomes a
+  ``fori_loop`` with a traced bound clipped to ``cfg.max_iters``; everything
+  else is masking. The emulator has no trainable parameters (matching the
+  reference — thresholds are not nn.Parameters), so outputs carry
+  ``stop_gradient`` and the dynamic-bound loop is legal under jit.
+- **Functional state.** The reference's mutable module state becomes an
+  explicit ``EmulatorState`` pytree threaded through ``emulate_pack``;
+  sequence reset = pass ``state=None``.
+
+Deliberate deviation (bug fix, not replicated): the reference refractory
+filter *replaces* the event mask with ``(ts*mask - timestamp_mem) > Tr``
+(:470-471), which can spuriously re-trigger sub-threshold pixels right after
+a pack boundary (where ``timestamp_mem`` was rebased negative). Here the
+filter only ever *suppresses* events: ``mask &= (ts - timestamp_mem) > Tr``.
+The two agree whenever no pack boundary has occurred or refractory is off.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.numerics import (
+    lin_log,
+    low_pass_filter_step,
+    rescale_intensity_frame,
+    subtract_leak_current,
+)
+from ..ops.voxel import event_preprocess
+
+
+@dataclass(frozen=True)
+class EmulatorConfig:
+    """Static emulator configuration (reference ctor args, :36-57)."""
+
+    output_mode: str = "voxel_grid"
+    pl: float = 1.0
+    ps: float = 1.0
+    ql: float = 1.0
+    qs: float = 1.0
+    num_bins: int = 5
+    pos_thres: float = 0.2
+    neg_thres: float = 0.2
+    sigma_thres: float = 0.03
+    cutoff_hz: float = 0.0
+    leak_rate_hz: float = 0.1
+    refractory_period_s: float = 0.0
+    shot_noise_rate_hz: float = 0.0
+    leak_jitter_fraction: float = 0.1
+    noise_rate_cov_decades: float = 0.1
+    max_iters: int = 32  # static bound on events/pixel per frame pair
+    shot_noise_inten_factor: float = 0.25
+
+
+class EmulatorState(NamedTuple):
+    """Functional emulator state (the reference's mutable attributes)."""
+
+    base_log_frame: jax.Array  # [B,H,W] memorized lin-log values
+    lp_log_frame: jax.Array  # [B,H,W] IIR lowpass state
+    pos_thres: jax.Array  # [B,H,W] per-pixel ON threshold
+    neg_thres: jax.Array  # [B,H,W] per-pixel OFF threshold
+    pos_thres_pre_prob: jax.Array  # [B,H,W] shot-noise scaler (thres/nominal)
+    neg_thres_pre_prob: jax.Array
+    noise_rate_array: jax.Array  # [B,H,W] log-normal leak rates
+    timestamp_mem: jax.Array  # [B,H,W] last-spike time in bin units
+    t_previous: jax.Array  # scalar, seconds
+    key: jax.Array  # PRNG key
+
+
+def _lattice_mask(h: int, w: int) -> jax.Array:
+    hh = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) % 2) == 0
+    ww = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) % 2) == 0
+    return jnp.logical_and(hh, ww)
+
+
+def emulator_init(
+    key: jax.Array,
+    cfg: EmulatorConfig,
+    frame_log: jax.Array,
+    tr_frames: jax.Array,
+    t0: jax.Array,
+) -> EmulatorState:
+    """Initialize state from the first lin-log frame (reference ``_init``).
+
+    frame_log: ``[B, H, W]``; tr_frames: ``[B, H, W]`` refractory period in
+    bin units; t0: scalar first timestamp (seconds).
+    """
+    b, h, w = frame_log.shape
+    lattice = _lattice_mask(h, w)
+
+    k_pos_l, k_pos_s, k_neg_l, k_neg_s, k_leak, k_next = jax.random.split(key, 6)
+
+    def diverse_threshold(kl, ks, nominal):
+        if cfg.sigma_thres <= 0:
+            # reference keeps the scalar nominal threshold when sigma==0
+            return jnp.full((b, h, w), nominal, jnp.float32)
+        large = cfg.pl * nominal + cfg.sigma_thres * jax.random.normal(
+            kl, (b, h, w), jnp.float32
+        )
+        small = cfg.ps * nominal + cfg.sigma_thres * jax.random.normal(
+            ks, (b, h, w), jnp.float32
+        )
+        return jnp.maximum(jnp.where(lattice, small, large), 0.01)
+
+    pos = diverse_threshold(k_pos_l, k_pos_s, cfg.pos_thres)
+    neg = diverse_threshold(k_neg_l, k_neg_s, cfg.neg_thres)
+
+    noise_rate = jnp.ones((b, h, w), jnp.float32)
+    if cfg.leak_rate_hz > 0:
+        noise_rate = jnp.exp(
+            math.log(10.0)
+            * cfg.noise_rate_cov_decades
+            * jax.random.normal(k_leak, (b, h, w), jnp.float32)
+        )
+
+    return EmulatorState(
+        base_log_frame=frame_log,
+        lp_log_frame=frame_log,
+        pos_thres=pos,
+        neg_thres=neg,
+        pos_thres_pre_prob=pos / cfg.pos_thres,
+        neg_thres_pre_prob=neg / cfg.neg_thres,
+        noise_rate_array=noise_rate,
+        timestamp_mem=-tr_frames,
+        t_previous=jnp.asarray(t0, jnp.float32),
+        key=k_next,
+    )
+
+
+def emulate_pack(
+    cfg: EmulatorConfig,
+    state: EmulatorState | None,
+    frames: jax.Array,
+    t_frames: jax.Array,
+    key: jax.Array | None = None,
+):
+    """Emulate events for one pack of consecutive frames.
+
+    Args:
+      state: previous ``EmulatorState`` or ``None`` at a sequence start
+        (reference ``reset()`` + ``_init`` on first pack).
+      frames: ``[B, N, H, W]`` intensity frames in 0-255 (N >= 2).
+      t_frames: ``[B, 2]`` (endpoints; interior linearly spaced) or ``[B, N]``
+        timestamps in seconds. If given ``[B, N+1]`` (the reference
+        continuation-pack off-by-one, ``video_readers.py:101``), the first N
+        entries are used, matching the reference pairing.
+      key: PRNG key (required when ``state is None``).
+
+    Returns ``(voxel [B, H, W, num_bins] normalized, num_events, new_state)``.
+    """
+    b, n, h, w = frames.shape
+    if t_frames.shape[1] not in (2, n):
+        t_frames = t_frames[:, :n]
+
+    if t_frames.shape[1] == 2:
+        t_float = jnp.linspace(t_frames[0, 0], t_frames[0, -1], n)
+    else:
+        t_float = t_frames[0].astype(jnp.float32)
+
+    duration = (cfg.num_bins - 1) / (n - 1)
+    time_frames = duration * jnp.arange(n, dtype=jnp.float32)
+
+    # refractory period in bin units: Tr = (nb-1) * refr_s / window_length
+    window = t_frames[:, -1] - t_frames[:, 0]
+    tr = (cfg.num_bins - 1) * cfg.refractory_period_s / window  # [B]
+    tr_frames = jnp.broadcast_to(tr[:, None, None], (b, h, w)).astype(jnp.float32)
+
+    frames_rescaled = rescale_intensity_frame(frames)
+    frames_log = lin_log(frames)
+
+    if state is None:
+        assert key is not None, "key required to initialize emulator state"
+        state = emulator_init(key, cfg, frames_log[:, 0], tr_frames, t_float[0])
+    else:
+        # pack-boundary rebase of last-spike times (reference :329-330)
+        mem = state.timestamp_mem
+        mem = jnp.where(mem > 0, mem - (cfg.num_bins - 1), mem)
+        mem = jnp.where(mem < 0, -tr_frames, mem)
+        state = state._replace(timestamp_mem=mem)
+
+    # --- IIR temporal filtering over the pack (reference :252-275) ---------
+    if cfg.cutoff_hz > 0:
+        def lp_body(lp, inp):
+            frame_log_n, inten_n, dt = inp
+            lp = low_pass_filter_step(
+                frame_log_n, lp, inten_n, dt, cfg.cutoff_hz, ql=cfg.ql, qs=cfg.qs
+            )
+            return lp, lp
+
+        dts = t_float[1:] - t_float[:-1]
+        lp_final, filtered = jax.lax.scan(
+            lp_body,
+            state.lp_log_frame,
+            (
+                jnp.moveaxis(frames_log[:, 1:], 1, 0),
+                jnp.moveaxis(frames_rescaled[:, 1:], 1, 0),
+                dts,
+            ),
+        )
+        state = state._replace(lp_log_frame=lp_final)
+    else:
+        filtered = jnp.moveaxis(frames_log[:, 1:], 1, 0)  # [N-1, B, H, W]
+
+    # --- scan over frame pairs ---------------------------------------------
+    pos_thres, neg_thres = state.pos_thres, state.neg_thres
+    pos_pre, neg_pre = state.pos_thres_pre_prob, state.neg_thres_pre_prob
+    noise_rate = state.noise_rate_array
+
+    # NOTE: the reference updates base with final_evts_frame (events actually
+    # emitted, including shot-noise extras and refractory suppressions). To
+    # keep that exact, fold the base update into the scan carry instead:
+    def pair_step_exact(carry, inputs):
+        base, timestamp_mem, t_prev, key = carry
+        new_frame, inten01, t_n, tf_base = inputs
+
+        delta_time = t_n - t_prev
+        if cfg.leak_rate_hz > 0:
+            key, k_leak = jax.random.split(key)
+            base = subtract_leak_current(
+                k_leak, base, cfg.leak_rate_hz, delta_time, pos_thres,
+                cfg.leak_jitter_fraction, noise_rate,
+            )
+
+        diff = new_frame - base
+        diff = jnp.where(jnp.abs(diff) > 1e-6, diff, 0.0)
+        pol = jnp.sign(diff)
+        c = jnp.where(pol > 0, pos_thres, 0.0) + jnp.where(pol < 0, neg_thres, 0.0)
+        event_counts = jnp.floor(jnp.abs(diff) / (c + 1e-9)).astype(jnp.int32)
+        num_iters = jnp.clip(jnp.max(event_counts, axis=(1, 2)), 1, cfg.max_iters)
+        ts_step = duration / num_iters.astype(jnp.float32)
+        n_iter_max = jnp.max(num_iters)
+
+        if cfg.shot_noise_rate_hz > 0:
+            shot_factor = (
+                (cfg.shot_noise_rate_hz / 2.0)
+                * delta_time
+                / num_iters.astype(jnp.float32)
+            )[:, None, None] * ((cfg.shot_noise_inten_factor - 1.0) * inten01 + 1.0)
+            one_minus_on_prob = 1.0 - shot_factor * pos_pre
+            off_prob = shot_factor * neg_pre
+            key, k_shot = jax.random.split(key)
+        else:
+            one_minus_on_prob = off_prob = k_shot = None
+
+        def iter_body(i, acc):
+            timestamp_mem, voxel, num_events, final_evts = acc
+            mask = event_counts >= (i + 1)
+            iter_active = (i < num_iters)[:, None, None]
+
+            if cfg.shot_noise_rate_hz > 0:
+                rand01 = jax.random.uniform(
+                    jax.random.fold_in(k_shot, i), event_counts.shape
+                )
+                shot = jnp.where(pol > 0, rand01 > one_minus_on_prob, False) | (
+                    jnp.where(pol < 0, rand01 < off_prob, False)
+                )
+                mask = mask | (shot & iter_active)
+
+            ts_i = jnp.where(i < num_iters, tf_base + ts_step * (i + 1.0), 0.0)
+            ts_map = jnp.broadcast_to(ts_i[:, None, None], mask.shape)
+
+            if cfg.refractory_period_s > 0:
+                gate = (tr > ts_step)[:, None, None]
+                mask = mask & jnp.where(gate, (ts_map - timestamp_mem) > tr_frames, True)
+                timestamp_mem = jnp.where(mask & gate, ts_map, timestamp_mem)
+
+            num_events = num_events + jnp.sum(mask, dtype=jnp.int32)
+            final_evts = final_evts + mask.astype(jnp.int32)
+            evmap = pol * mask
+
+            bins = jnp.arange(cfg.num_bins, dtype=jnp.float32)
+            wgt = jnp.maximum(0.0, 1.0 - jnp.abs(ts_i[:, None] - bins))
+            voxel = voxel + evmap[..., None] * wgt[:, None, None, :]
+            return (timestamp_mem, voxel, num_events, final_evts)
+
+        acc0 = (
+            timestamp_mem,
+            jnp.zeros((b, h, w, cfg.num_bins), jnp.float32),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros_like(event_counts),
+        )
+        timestamp_mem, voxel_add, n_ev, final_evts = jax.lax.fori_loop(
+            0, n_iter_max, iter_body, acc0
+        )
+
+        # memorized value moves by the emitted events (reference :522)
+        base = base + pol * final_evts.astype(jnp.float32) * c
+        return (base, timestamp_mem, t_n, key), (voxel_add, n_ev)
+
+    carry0 = (state.base_log_frame, state.timestamp_mem, state.t_previous, state.key)
+    inputs = (
+        filtered,
+        jnp.moveaxis(frames_rescaled[:, 1:], 1, 0),
+        t_float[1:],
+        time_frames[:-1],
+    )
+    (base, timestamp_mem, t_prev, key), (voxels, n_evs) = jax.lax.scan(
+        pair_step_exact, carry0, inputs
+    )
+
+    voxel = jnp.sum(voxels, axis=0)
+    num_events = jnp.sum(n_evs)
+
+    voxel = event_preprocess(
+        jnp.moveaxis(voxel, -1, 1), mode="std", filter_hot_pixel=False
+    )
+    voxel = jnp.moveaxis(voxel, 1, -1)  # back to [B,H,W,nb]
+
+    new_state = state._replace(
+        base_log_frame=base,
+        timestamp_mem=timestamp_mem,
+        t_previous=t_prev,
+        key=key,
+    )
+    return (
+        jax.lax.stop_gradient(voxel),
+        num_events,
+        jax.tree_util.tree_map(jax.lax.stop_gradient, new_state),
+    )

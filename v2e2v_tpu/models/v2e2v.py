@@ -1,0 +1,107 @@
+"""V2E2V composite: HFR frames -> emulated event voxel grids -> reconstruction.
+
+Behavioral spec from reference ``model_v2e2v.py`` (lsying009/V2E2V): the
+composite owns an ``EventEmulator`` in voxel-grid mode with **hardcoded**
+``leak_rate_hz=0.1`` and ``shot_noise_rate_hz=1`` (:56-57) plus a
+``CistaLSTCNet`` (:61); the emulator is reset whenever the sequence id
+changes (:64-69); forward (:72-128) = v2e -> e2v with a zero previous image
+default, exposing ``num_events`` / ``event_voxel_grids`` for monitoring.
+
+Functional design: ``V2E2VState`` bundles the emulator state, the CISTA
+recurrent state and the previous reconstruction; a sequence change is just
+``state=None`` (the caller tracks sequence ids — see the CLIs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .cista import CistaConfig, CistaState, cista_lstc_step, cista_zero_state
+from .emulator import EmulatorConfig, EmulatorState, emulate_pack
+
+
+@dataclass(frozen=True)
+class V2E2VConfig:
+    cista: CistaConfig
+    emulator: EmulatorConfig
+
+    @staticmethod
+    def from_flags(cfgs) -> "V2E2VConfig":
+        """Build from a reference-compatible flag namespace
+        (``utils/configs.py``), applying the composite's hardcoded emulator
+        noise settings (``model_v2e2v.py:56-57``)."""
+        cista = CistaConfig(
+            image_dim=tuple(cfgs.image_dim),
+            base_channels=cfgs.base_channels,
+            depth=cfgs.depth,
+            num_bins=cfgs.num_bins,
+            model_mode="cista-lstc",
+        )
+        emulator = EmulatorConfig(
+            output_mode=cfgs.event_mode,
+            num_bins=cfgs.num_bins,
+            pl=cfgs.pl,
+            ps=cfgs.ps,
+            ql=cfgs.ql,
+            qs=cfgs.qs,
+            pos_thres=cfgs.C,
+            neg_thres=cfgs.C,
+            sigma_thres=cfgs.threshold_sigma,
+            cutoff_hz=cfgs.cutoff_hz,
+            refractory_period_s=cfgs.refractory_period_s,
+            leak_rate_hz=0.1,
+            shot_noise_rate_hz=1.0,
+        )
+        return V2E2VConfig(cista=cista, emulator=emulator)
+
+
+class V2E2VState(NamedTuple):
+    emulator: EmulatorState
+    cista: CistaState
+    prev_image: jax.Array  # [B, H, W, 1]
+
+
+class V2E2VOutput(NamedTuple):
+    reconstruction: jax.Array  # [B, H, W, 1]
+    event_voxel_grids: jax.Array  # [B, H, W, num_bins] (monitoring)
+    num_events: jax.Array  # scalar int
+
+
+def v2e2v_forward(
+    params: dict[str, Any],
+    cfg: V2E2VConfig,
+    frames: jax.Array,
+    timestamps: jax.Array,
+    state: V2E2VState | None,
+    key: jax.Array | None = None,
+) -> tuple[V2E2VOutput, V2E2VState]:
+    """One V2E2V step: a pack of frames -> one reconstruction.
+
+    Args:
+      frames: ``[B, N, H, W]`` HFR intensity frames (0-255).
+      timestamps: ``[B, 2]`` or ``[B, N]`` seconds.
+      state: previous state, or ``None`` at a sequence start (the reference's
+        ``reset_v2e``; the caller compares sequence ids).
+      key: PRNG key, required when ``state is None``.
+    """
+    b, _, h, w = frames.shape
+    emu_state = state.emulator if state is not None else None
+
+    voxel, num_events, emu_state = emulate_pack(
+        cfg.emulator, emu_state, frames, timestamps, key=key
+    )
+
+    if state is not None:
+        prev_image, cista_state = state.prev_image, state.cista
+    else:
+        prev_image = jnp.zeros((b, h, w, 1), voxel.dtype)
+        cista_state = cista_zero_state(cfg.cista, b, voxel.dtype)
+
+    rec, cista_state = cista_lstc_step(params, cfg.cista, voxel, prev_image, cista_state)
+
+    new_state = V2E2VState(emulator=emu_state, cista=cista_state, prev_image=rec)
+    return V2E2VOutput(rec, voxel, num_events), new_state
