@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""E2V inference/evaluation CLI — reference-compatible flags.
+
+Mirrors the reference ``test_e2v.py`` behavior (lsying009/V2E2V): enumerate
+sequence folders, pack events to the ``--num_events`` budget
+('real'/'upsampled' modes), run the recurrent reconstruction with state
+feedback, min-max-normalize predictions to uint8, write frames, and report
+per-sequence mean MSE/PSNR/SSIM/LPIPS to stdout and ``result.csv``.
+
+TPU design: the per-voxel-grid model step is one jitted function; voxel grids
+stream through a device-resident state pytree. No GPU selection boilerplate —
+JAX owns the device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_model(cfgs):
+    import jax
+
+    from v2e2v_tpu.models.cista import (
+        CistaConfig,
+        cista_zero_state,
+        get_step_fn,
+    )
+    from v2e2v_tpu.utils.checkpoint import load_checkpoint, load_torch_checkpoint
+
+    cfg = CistaConfig(
+        image_dim=tuple(cfgs.image_dim),
+        base_channels=cfgs.base_channels,
+        depth=cfgs.depth,
+        num_bins=cfgs.num_bins,
+        model_mode=cfgs.model_mode,
+    )
+    path = cfgs.path_to_test_model
+    if path.endswith((".pth.tar", ".pth", ".pt")):
+        params, _, _ = load_torch_checkpoint(path, cfgs.model_mode)
+    else:
+        payload = load_checkpoint(path)
+        params = payload["params"]
+
+    step_fn = get_step_fn(cfg)
+    dtype = "bfloat16" if cfgs.precision == "bfloat16" else "float32"
+    if dtype == "bfloat16":
+        import jax.numpy as jnp
+
+        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+
+    step = jax.jit(lambda p, ev, prev, st: step_fn(p, cfg, ev, prev, st))
+    return cfg, params, step, cista_zero_state
+
+
+class Reconstructor:
+    def __init__(self, cfgs):
+        self.cfgs = cfgs
+        self.image_dim = cfgs.image_dim
+        self.num_load_frames = cfgs.test_img_num
+        self.test_data_name = cfgs.test_data_name
+        self.limit_num_events = cfgs.num_events
+        self.test_data_mode = cfgs.test_data_mode
+
+        self.path_to_sequences = sorted(
+            os.path.join(cfgs.path_to_test_data, d)
+            for d in os.listdir(cfgs.path_to_test_data)
+            if os.path.isdir(os.path.join(cfgs.path_to_test_data, d))
+        )
+
+        if cfgs.reader_type == "upsampling":
+            from v2e2v_tpu.data.interpolating_reader import InterpolatingReader
+
+            self.video_renderer = InterpolatingReader(
+                self.image_dim, num_bins=cfgs.num_bins, is_with_events=True,
+                time_unit=cfgs.time_unit,
+            )
+        else:
+            from v2e2v_tpu.data.video_readers import ImageReader
+
+            self.video_renderer = ImageReader(
+                self.image_dim, num_bins=cfgs.num_bins, is_with_events=True,
+                time_unit=cfgs.time_unit,
+            )
+
+        self.cfg, self.params, self.step, self.zero_state = build_model(cfgs)
+        self.model_name = os.path.splitext(os.path.basename(cfgs.path_to_test_model))[0]
+
+        from v2e2v_tpu.training.lpips_jax import make_lpips_fn
+
+        self.lpips_fn = make_lpips_fn()
+
+    def evaluate(self, pred_u8: np.ndarray, gt: np.ndarray):
+        from v2e2v_tpu.utils.evaluate import mse, psnr, ssim
+
+        pred = pred_u8 / 255.0
+        row = [mse(pred, gt), psnr(pred, gt), ssim(pred, gt)]
+        if self.lpips_fn is not None:
+            import jax.numpy as jnp
+
+            row.append(
+                float(
+                    self.lpips_fn(
+                        jnp.asarray(pred, jnp.float32)[None, ..., None],
+                        jnp.asarray(gt, jnp.float32)[None, ..., None],
+                    )
+                )
+            )
+        else:
+            row.append(float("nan"))
+        return row
+
+    def run(self):
+        import jax.numpy as jnp
+
+        from v2e2v_tpu.ops.image import (
+            normalize_image_minmax_u8,
+            normalize_image_percentile,
+        )
+        from v2e2v_tpu.utils.data_io import EvalWriter, ImageWriter
+
+        for path in self.path_to_sequences:
+            dataset_name = os.path.basename(path).split(".")[0]
+            if self.test_data_name is not None and dataset_name != self.test_data_name:
+                continue
+            self.video_renderer.initialize(path, self.num_load_frames)
+
+            h, w = self.video_renderer.height, self.video_renderer.width
+            if (h, w) != tuple(self.cfg.image_dim):
+                # network is resolution-agnostic only via re-jit; rebuild cfg
+                from v2e2v_tpu.models.cista import CistaConfig, get_step_fn
+                import jax
+
+                self.cfg = CistaConfig(
+                    image_dim=(h, w),
+                    base_channels=self.cfgs.base_channels,
+                    depth=self.cfgs.depth,
+                    num_bins=self.cfgs.num_bins,
+                    model_mode=self.cfgs.model_mode,
+                )
+                step_fn = get_step_fn(self.cfg)
+                self.step = jax.jit(
+                    lambda p, ev, prev, st: step_fn(p, self.cfg, ev, prev, st)
+                )
+
+            state = self.zero_state(self.cfg, 1)
+            prev_image = jnp.zeros((1, h, w, 1), jnp.float32)
+
+            image_writer = ImageWriter(self.cfgs, self.model_name, dataset_name)
+            eval_writer = EvalWriter(self.cfgs, self.model_name, dataset_name)
+
+            results = []
+            frame_idx = 0
+            pred_image = prev_image
+            while not self.video_renderer.ending:
+                events, gt_frame = self.video_renderer.update_event_frame_pack(
+                    self.limit_num_events, self.test_data_mode
+                )
+                for evs in events:
+                    evs = jnp.asarray(np.moveaxis(evs, 0, -1))[None]  # NHWC
+                    pred_image, state = self.step(self.params, evs, prev_image, state)
+                    prev_image = pred_image
+
+                pred_np = np.asarray(pred_image[0, ..., 0], dtype=np.float32)
+                pred_u8 = normalize_image_minmax_u8(pred_np)
+                gt_norm = np.asarray(
+                    normalize_image_percentile(gt_frame.astype(np.float32))
+                )
+
+                image_writer(pred_u8, frame_idx + 1)
+                results.append(self.evaluate(pred_u8, gt_norm))
+                frame_idx += 1
+
+            results = np.array(results)
+            mean_res = results.mean(0)
+            print(
+                "\nTest set {}: Average MSE for {:d} frames: {:.4f}, PSNR: {:.4f}, "
+                "SSIM: {:.4f}, LPIPS: {:.4f} \n".format(
+                    dataset_name, len(results), *mean_res
+                )
+            )
+            eval_writer(
+                ["Dataset", "MSE", "PSNR", "SSIM", "LPIPS", "N_frames"],
+                [dataset_name] + [round(float(x), 4) for x in mean_res] + [len(results)],
+            )
+
+
+if __name__ == "__main__":
+    from v2e2v_tpu.utils.configs import set_configs
+
+    parser = argparse.ArgumentParser(description="E2V testing options")
+    set_configs(parser)
+    cfgs = parser.parse_args()
+
+    Reconstructor(cfgs).run()

@@ -1,0 +1,175 @@
+"""Data layer: readers, pack logic, training datasets, checkpoint round-trip."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("synth"))
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "make_synth_data.py"),
+            "--out_dir", out, "--num_sequences", "2", "--num_frames", "24",
+            "--image_dim", "32", "40", "--num_pack_frames", "6",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return out
+
+
+def test_ref_time_event_reader_windows(tmp_path):
+    from v2e2v_tpu.data.event_readers import RefTimeEventReader
+
+    # events at t = 0.05, 0.15, 0.25, 0.35; images at t = 0.0, 0.1, 0.2, 0.3
+    path = tmp_path / "events.txt"
+    rows = [(0.05, 1, 2, 1), (0.15, 3, 4, 0), (0.25, 5, 6, 1), (0.35, 7, 8, 0)]
+    path.write_text("".join(f"{t} {x} {y} {p}\n" for t, x, y, p in rows))
+
+    reader = RefTimeEventReader(str(path), [0.0, 0.1, 0.2, 0.3])
+    windows = list(reader)
+    assert len(windows) == 3
+    # times rebased by T_image[0] (=0 here); one event per window
+    assert windows[0].shape == (1, 4) and windows[0][0, 1] == 1
+    assert windows[1][0, 1] == 3
+    assert windows[2][0, 1] == 5
+
+
+def test_pack_reader_continuation_rule(synth_dir):
+    from v2e2v_tpu.data.video_readers import ImageReader
+
+    reader = ImageReader([32, 40])
+    reader.initialize(os.path.join(synth_dir, "sequence_0000000001"))
+
+    f1, gt1, t1 = reader.update_frame_pack(6)
+    assert f1.shape[0] == 6 and len(t1) == 6
+    f2, gt2, t2 = reader.update_frame_pack(6)
+    # continuation: 5 new frames, cached previous timestamp prepended
+    assert f2.shape[0] == 5 and len(t2) == 6
+    assert t2[0] == t1[-1]
+    np.testing.assert_array_equal(gt2, f2[-1])
+
+
+def test_event_frame_pack_real_mode_splits(synth_dir):
+    from v2e2v_tpu.data.video_readers import ImageReader
+
+    reader = ImageReader([32, 40], num_bins=5, is_with_events=True)
+    reader.initialize(os.path.join(synth_dir, "sequence_0000000001"))
+
+    # small budget -> windows with > budget events split into chunks
+    grids, gt = reader.update_event_frame_pack(limit_num_events=50, mode="real")
+    assert len(grids) >= 1
+    for g in grids:
+        assert g.shape == (5, reader.height, reader.width)
+    assert gt.shape == (reader.height, reader.width)
+
+
+def test_event_frame_pack_upsampled_mode_accumulates(synth_dir):
+    from v2e2v_tpu.data.video_readers import ImageReader
+
+    reader = ImageReader([32, 40], num_bins=5, is_with_events=True)
+    reader.initialize(os.path.join(synth_dir, "sequence_0000000002"))
+    grids, gt = reader.update_event_frame_pack(limit_num_events=10**9, mode="upsampled")
+    # budget never reached -> consumed the whole sequence into one grid
+    assert len(grids) == 1
+    assert reader.ending
+
+
+def test_train_fix_n_event_data(synth_dir):
+    import argparse
+
+    from v2e2v_tpu.data.datasets import TrainFixNEventData
+    from v2e2v_tpu.utils.configs import set_configs
+
+    parser = argparse.ArgumentParser()
+    set_configs(parser)
+    cfgs = parser.parse_args(
+        ["--path_to_train_data", synth_dir, "--image_dim", "32", "40",
+         "--num_events", "300", "--len_sequence", "3"]
+    )
+    ds = TrainFixNEventData(os.path.join(synth_dir, "train_e2v.txt"), cfgs)
+    assert len(ds) > 0
+    seq_events, img, gt = ds[0]
+    assert seq_events.ndim == 4 and seq_events.shape[-1] == 5  # [T,H,W,nb]
+    assert img.shape == (32, 40, 1) and gt.shape == (32, 40, 1)
+    assert gt.max() <= 1.0
+
+
+def test_train_seq_data(synth_dir):
+    from v2e2v_tpu.data.datasets import TrainSeqData, iterate_batches
+
+    ds = TrainSeqData(
+        os.path.join(synth_dir, "train_v2e2v.txt"), synth_dir,
+        len_sequence=2, num_pack_frames=6,
+    )
+    assert len(ds) > 0
+    ts, images, gt = ds[0]
+    assert ts.shape == (2, 6)
+    assert images.shape == (2, 6, 32, 40)
+    assert images.max() > 1.5  # 0-255 domain for the emulator
+    assert gt.shape == (2, 32, 40, 1) and gt.max() <= 1.0
+
+    batches = list(iterate_batches(ds, batch_size=1, shuffle=False))
+    assert batches[0][1].shape == (1, 2, 6, 32, 40)
+
+
+def test_checkpoint_torch_roundtrip(tmp_path):
+    import jax
+    import torch
+
+    from v2e2v_tpu.models.cista import CistaConfig, init_cista_lstc
+    from v2e2v_tpu.utils.checkpoint import (
+        convert_torch_state_dict,
+        export_torch_state_dict,
+        load_torch_checkpoint,
+    )
+
+    cfg = CistaConfig(image_dim=(16, 16), base_channels=8, depth=3, num_bins=5)
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+
+    sd = export_torch_state_dict(params, "cista-lstc", depth=3)
+    back = convert_torch_state_dict(sd, "cista-lstc")
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_b[path]), atol=0, err_msg=str(path)
+        )
+
+    # .pth.tar round trip incl. epoch field
+    sd_t = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    p = tmp_path / "ckpt.pth.tar"
+    torch.save({"epoch": 7, "state_dict": sd_t}, str(p))
+    params2, epoch, v2e = load_torch_checkpoint(str(p), "cista-lstc")
+    assert epoch == 7 and v2e is None
+    np.testing.assert_allclose(
+        np.asarray(params2["We"]["weight"]), np.asarray(params["We"]["weight"])
+    )
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from v2e2v_tpu.models.cista import CistaConfig, init_cista_lstc
+    from v2e2v_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = CistaConfig(image_dim=(16, 16), base_channels=8, depth=2, num_bins=5)
+    params = init_cista_lstc(jax.random.PRNGKey(1), cfg)
+    payload = {"epoch": 3, "params": params, "v2e_params": {"C": 0.6, "pl": 1.5}}
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, payload)
+    back = load_checkpoint(path)
+    assert back["epoch"] == 3
+    assert float(back["v2e_params"]["C"]) == 0.6
+    np.testing.assert_allclose(
+        np.asarray(back["params"]["We"]["weight"]), np.asarray(params["We"]["weight"])
+    )

@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""V2E2V training CLI — reference-compatible flags.
+
+Mirrors reference ``train.py`` (lsying009/V2E2V): events are generated on the
+fly by the emulator from HFR frame packs; the E2V net is trained many-to-one
+over length-``len_sequence`` windows with output clamped to
+``(1e-7, 1-1e-7)``; fresh runs warm-start the E2V weights from
+``--path_to_e2v``; checkpoints embed ``v2e_params`` so inference can rebuild
+the emulator config (:94-98).
+
+TPU design: the whole BPTT window (emulator packs + reconstructions) traces
+into ONE jitted update; the emulator contributes no gradient (it has no
+trainable parameters) so reverse-mode only walks the reconstruction chain.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+class Train:
+    def __init__(self, cfgs):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from v2e2v_tpu.data.datasets import TrainSeqData
+        from v2e2v_tpu.models.cista import init_cista_lstc
+        from v2e2v_tpu.models.v2e2v import V2E2VConfig, v2e2v_forward
+        from v2e2v_tpu.training.losses import many_to_one_loss
+        from v2e2v_tpu.training.lpips_jax import make_lpips_fn
+        from v2e2v_tpu.utils.checkpoint import (
+            load_checkpoint,
+            load_torch_checkpoint,
+            save_checkpoint,
+            v2e2v_checkpoint_name,
+        )
+
+        self.cfgs = cfgs
+        self.model_name = v2e2v_checkpoint_name(cfgs)
+        self.path_to_model = os.path.join(cfgs.path_to_model, self.model_name)
+        os.makedirs(self.path_to_model, exist_ok=True)
+
+        self.cfg = V2E2VConfig.from_flags(cfgs)
+        self.v2e_params = {
+            "C": cfgs.C,
+            "ps": cfgs.ps,
+            "pl": cfgs.pl,
+            "cutoff_hz": cfgs.cutoff_hz,
+            "qs": cfgs.qs,
+            "ql": cfgs.ql,
+            "refractory_period_s": cfgs.refractory_period_s,
+        }
+
+        if cfgs.load_epoch_for_train:
+            payload = load_checkpoint(
+                os.path.join(
+                    self.path_to_model,
+                    f"{self.model_name}_{cfgs.load_epoch_for_train}",
+                )
+            )
+            self.params = payload["params"]
+        elif cfgs.path_to_e2v:
+            if cfgs.path_to_e2v.endswith((".pth.tar", ".pth", ".pt")):
+                self.params, _, _ = load_torch_checkpoint(cfgs.path_to_e2v, "cista-lstc")
+            else:
+                self.params = load_checkpoint(cfgs.path_to_e2v)["params"]
+        else:
+            self.params = init_cista_lstc(jax.random.PRNGKey(cfgs.seed), self.cfg.cista)
+
+        self.train_data = TrainSeqData(
+            os.path.join(cfgs.path_to_train_data, "train_v2e2v.txt"),
+            cfgs.path_to_train_data,
+            cfgs.len_sequence,
+            cfgs.num_pack_frames,
+        )
+        print(f"training sequences: {len(self.train_data)}")
+
+        base_lr = cfgs.lr
+        self.lr_for_epoch = lambda e: base_lr * (0.9 ** np.floor(e / 10.0))
+        self.tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=self.lr_for_epoch(cfgs.load_epoch_for_train)
+        )
+        self.opt_state = self.tx.init(self.params)
+        self._save_checkpoint = save_checkpoint
+
+        lpips_fn = make_lpips_fn()
+        if lpips_fn is None:
+            print("LPIPS weights unavailable; training with L1 + (1 - SSIM) only")
+        cfg = self.cfg
+
+        def loss_fn(params, frames_seq, ts_seq, gt, key):
+            # frames_seq [T,B,N,H,W], ts_seq [T,B,N], gt [B,H,W,1]
+            state = None
+            out = None
+            t_len = frames_seq.shape[0]
+            for s in range(t_len):  # python-unrolled BPTT window
+                out, state = v2e2v_forward(
+                    params, cfg, frames_seq[s], ts_seq[s], state, key=key
+                )
+            rec = jnp.clip(out.reconstruction, 1e-7, 1 - 1e-7)
+            return many_to_one_loss(rec, gt, lpips_fn=lpips_fn)
+
+        @jax.jit
+        def train_step(params, opt_state, frames_seq, ts_seq, gt, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, frames_seq, ts_seq, gt, key)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self.train_step = train_step
+
+    def run(self):
+        import jax
+
+        from v2e2v_tpu.data.datasets import iterate_batches
+        from v2e2v_tpu.utils.logging import ScalarLogger
+
+        cfgs = self.cfgs
+        logger = ScalarLogger(
+            os.path.join("summary", self.model_name), enabled=cfgs.is_SummaryWriter
+        )
+
+        step_idx = 0
+        for epoch in range(cfgs.load_epoch_for_train, cfgs.epochs):
+            lr = float(self.lr_for_epoch(epoch))
+            self.opt_state.hyperparams["learning_rate"] = np.asarray(lr, np.float32)
+            print(f"lr: {lr}")
+            t_epoch = time.time()
+            for n_batches, batch in enumerate(
+                iterate_batches(
+                    self.train_data, cfgs.batch_size, cfgs.shuffle, seed=cfgs.seed + epoch
+                )
+            ):
+                seq_ts, seq_images, seq_gt = batch  # [B,T,N], [B,T,N,H,W], [B,T,H,W,1]
+                frames_seq = np.moveaxis(seq_images, 1, 0)  # [T,B,N,H,W]
+                ts_seq = np.moveaxis(seq_ts, 1, 0).astype(np.float32)
+                gt = seq_gt[:, -1]  # loss on the final reconstruction
+
+                key = jax.random.fold_in(jax.random.PRNGKey(cfgs.seed), step_idx)
+                self.params, self.opt_state, loss = self.train_step(
+                    self.params, self.opt_state, frames_seq, ts_seq, gt, key
+                )
+                if n_batches % 50 == 0:
+                    loss = float(loss)
+                    print(
+                        f"Train Epoch: {epoch + 1} [{n_batches * cfgs.batch_size}/"
+                        f"{len(self.train_data)}]\tloss: {loss:.6f}"
+                    )
+                    logger.scalar("loss", loss, step_idx)
+                step_idx += 1
+
+            print(f"epoch {epoch + 1} done in {time.time() - t_epoch:.1f}s")
+            self._save_checkpoint(
+                os.path.join(self.path_to_model, f"{self.model_name}_{epoch + 1}"),
+                {
+                    "epoch": epoch + 1,
+                    "params": self.params,
+                    "v2e_params": self.v2e_params,
+                },
+            )
+        logger.close()
+
+
+if __name__ == "__main__":
+    from v2e2v_tpu.utils.configs import set_configs
+
+    parser = argparse.ArgumentParser(description="V2E2V training options")
+    set_configs(parser)
+    cfgs = parser.parse_args()
+    cfgs.shuffle = True
+
+    Train(cfgs).run()

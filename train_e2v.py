@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""E2V training CLI — reference-compatible flags.
+
+Mirrors reference ``train_e2v.py`` (lsying009/V2E2V): fixed-event-count
+training sequences, many-to-one loss (LPIPS + L1 + (1 - SSIM)) on the last
+reconstruction of each length-``len_sequence`` window, Adam with 0.9x decay
+every 10 epochs, checkpoint per epoch.
+
+TPU design: the BPTT window is one compiled ``lax.scan`` step over a device
+mesh (data-parallel over sequences, optional spatial sharding); gradients
+all-reduce via pjit-inserted collectives. Checkpoints are orbax pytrees named
+with the reference convention.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+class Train:
+    def __init__(self, cfgs):
+        import jax
+        import optax
+
+        from v2e2v_tpu.data.datasets import TrainFixNEventData
+        from v2e2v_tpu.models.cista import (
+            CistaConfig,
+            init_cista_lstc,
+            init_cista_tc,
+        )
+        from v2e2v_tpu.parallel.mesh import make_e2v_train_step, make_mesh
+        from v2e2v_tpu.training.lpips_jax import make_lpips_fn
+        from v2e2v_tpu.utils.checkpoint import (
+            checkpoint_name,
+            load_checkpoint,
+            save_checkpoint,
+        )
+
+        self.cfgs = cfgs
+        self.model_name = checkpoint_name(cfgs)
+        self.path_to_model = os.path.join(cfgs.path_to_model, self.model_name)
+        os.makedirs(self.path_to_model, exist_ok=True)
+
+        self.cfg = CistaConfig(
+            image_dim=tuple(cfgs.image_dim),
+            base_channels=cfgs.base_channels,
+            depth=cfgs.depth,
+            num_bins=cfgs.num_bins,
+            model_mode=cfgs.model_mode,
+        )
+        init_fn = init_cista_lstc if cfgs.model_mode == "cista-lstc" else init_cista_tc
+        self.params = init_fn(jax.random.PRNGKey(cfgs.seed), self.cfg)
+
+        if cfgs.load_epoch_for_train:
+            payload = load_checkpoint(
+                os.path.join(
+                    self.path_to_model,
+                    f"{self.model_name}_{cfgs.load_epoch_for_train}",
+                )
+            )
+            self.params = payload["params"]
+
+        self.train_data = TrainFixNEventData(
+            os.path.join(cfgs.path_to_train_data, "train_e2v.txt"), cfgs
+        )
+        print(f"training sequences: {len(self.train_data)}")
+
+        # reference lr schedule: lr * 0.9^floor(epoch/10), stepped per epoch
+        base_lr = cfgs.lr
+        self.lr_for_epoch = lambda e: base_lr * (0.9 ** np.floor(e / 10.0))
+        self.tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=self.lr_for_epoch(cfgs.load_epoch_for_train)
+        )
+        self.opt_state = self.tx.init(self.params)
+
+        n_data = cfgs.mesh_data if cfgs.mesh_data > 0 else None
+        self.mesh = make_mesh(n_data, cfgs.mesh_spatial)
+        self.lpips_fn = make_lpips_fn()
+        if self.lpips_fn is None:
+            print("LPIPS weights unavailable; training with L1 + (1 - SSIM) only")
+        self.train_step = make_e2v_train_step(
+            self.cfg, self.tx, self.mesh, lpips_fn=self.lpips_fn
+        )
+
+        self._save_checkpoint = save_checkpoint
+
+    def run(self):
+        from v2e2v_tpu.data.datasets import iterate_batches
+        from v2e2v_tpu.utils.logging import ScalarLogger
+
+        cfgs = self.cfgs
+        logger = ScalarLogger(
+            os.path.join("summary", self.model_name), enabled=cfgs.is_SummaryWriter
+        )
+
+        step_idx = 0
+        for epoch in range(cfgs.load_epoch_for_train, cfgs.epochs):
+            lr = float(self.lr_for_epoch(epoch))
+            self.opt_state.hyperparams["learning_rate"] = np.asarray(lr, np.float32)
+            print(f"lr: {lr}")
+            t_epoch = time.time()
+            n_batches = 0
+            for batch in iterate_batches(
+                self.train_data, cfgs.batch_size, cfgs.shuffle, seed=cfgs.seed + epoch
+            ):
+                seq_events, _img, gt = batch  # [B,T,H,W,nb], [B,H,W,1], [B,H,W,1]
+                voxel_seq = np.moveaxis(seq_events, 1, 0)  # [T,B,H,W,nb]
+                self.params, self.opt_state, loss = self.train_step(
+                    self.params, self.opt_state, voxel_seq, gt
+                )
+                if n_batches % 50 == 0:
+                    loss = float(loss)
+                    print(
+                        f"Train Epoch: {epoch + 1} [{n_batches * cfgs.batch_size}/"
+                        f"{len(self.train_data)}]\tloss: {loss:.6f}"
+                    )
+                    logger.scalar("loss", loss, step_idx)
+                n_batches += 1
+                step_idx += 1
+
+            print(f"epoch {epoch + 1} done in {time.time() - t_epoch:.1f}s")
+            self._save_checkpoint(
+                os.path.join(self.path_to_model, f"{self.model_name}_{epoch + 1}"),
+                {"epoch": epoch, "params": self.params},
+            )
+        logger.close()
+
+
+if __name__ == "__main__":
+    from v2e2v_tpu.utils.configs import set_configs
+
+    parser = argparse.ArgumentParser(description="E2V training options")
+    set_configs(parser)
+    cfgs = parser.parse_args()
+    cfgs.shuffle = True
+
+    Train(cfgs).run()
