@@ -23,7 +23,7 @@ import os
 
 import numpy as np
 
-from ..ops.voxel import event_preprocess_np, events_to_voxel_grid_np
+from ..ops.voxel import voxelize_and_preprocess_np
 
 
 class TrainFixNEventData:
@@ -88,10 +88,9 @@ class TrainFixNEventData:
         return len(self.sequence_line_id)
 
     def _voxelize(self, events: np.ndarray) -> np.ndarray:
-        grid = events_to_voxel_grid_np(
-            events, num_bins=self.num_bins, width=self.width, height=self.height
+        grid = voxelize_and_preprocess_np(
+            events, self.num_bins, self.width, self.height, filter_hot_pixel=False
         )
-        grid = event_preprocess_np(grid, filter_hot_pixel=False)
         return np.moveaxis(grid, 0, -1)  # bins-last
 
     def __getitem__(self, index):

@@ -24,7 +24,7 @@ import os
 
 import numpy as np
 
-from ..ops.voxel import event_preprocess_np, events_to_voxel_grid_np
+from ..ops.voxel import voxelize_and_preprocess_np
 from .event_readers import NpzEventReader, RefTimeEventReader
 
 _TS_NAMES = ("timestamps.txt", "images.txt", "timestamp.txt")
@@ -157,19 +157,21 @@ class PackReader:
 
         event_windows = []
         if limit_num_events <= 0 or mode == "upsampled":
-            grid = events_to_voxel_grid_np(
-                event_window, num_bins=self.num_bins,
-                width=self.width, height=self.height,
+            event_windows.append(
+                voxelize_and_preprocess_np(
+                    event_window, self.num_bins, self.width, self.height,
+                    filter_hot_pixel=True,
+                )
             )
-            event_windows.append(event_preprocess_np(grid, filter_hot_pixel=True))
         else:
             num_chunks = max(round(event_window.shape[0] / limit_num_events), 1)
             for chunk in np.array_split(event_window, num_chunks, axis=0):
-                grid = events_to_voxel_grid_np(
-                    chunk, num_bins=self.num_bins,
-                    width=self.width, height=self.height,
+                event_windows.append(
+                    voxelize_and_preprocess_np(
+                        chunk, self.num_bins, self.width, self.height,
+                        filter_hot_pixel=True,
+                    )
                 )
-                event_windows.append(event_preprocess_np(grid, filter_hot_pixel=True))
         return event_windows, gt_frame
 
     def _setup_event_iterator(self, path_to_events, num_load_frames):

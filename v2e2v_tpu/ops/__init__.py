@@ -14,6 +14,7 @@ from .voxel import (
     event_preprocess_np,
     event_preprocess,
     add_noise_to_voxel,
+    voxelize_and_preprocess_np,
 )
 from .image import (
     normalize_image_percentile,

@@ -231,3 +231,31 @@ def add_noise_to_voxel(
         keep = jax.random.uniform(k_mask, voxel.shape) < noise_fraction
         noise = jnp.where(keep, noise, 0.0)
     return voxel + noise
+
+
+def voxelize_and_preprocess_np(
+    events: np.ndarray,
+    num_bins: int,
+    width: int,
+    height: int,
+    filter_hot_pixel: bool = False,
+) -> np.ndarray:
+    """Host data-path voxelization + std normalization.
+
+    Prefers the native C++ runtime (~20x the numpy scatter; exact reference
+    semantics), falling back to the numpy oracle.
+    """
+    try:
+        from .. import runtime
+
+        if runtime.available():
+            thr = 25.0 / num_bins if filter_hot_pixel else 0.0
+            return runtime.voxelize_events(
+                np.ascontiguousarray(events, np.float64),
+                num_bins, width, height,
+                preprocess=True, hot_pixel_threshold=thr,
+            )
+    except Exception:
+        pass
+    grid = events_to_voxel_grid_np(events, num_bins, width, height)
+    return event_preprocess_np(grid, mode="std", filter_hot_pixel=filter_hot_pixel)
