@@ -213,3 +213,65 @@ def test_voxel_output_normalized():
     nz = v[v != 0]
     assert int(n_ev) > 0 and nz.size > 0
     assert abs(nz.mean()) < 1e-3 and abs(nz.std() - 1.0) < 1e-2
+
+
+def test_raw_mode_consistent_with_voxel_mode():
+    """Raw events voxelized per-bin must reproduce the (unnormalized) voxel
+    grid: same mask/timestamps feed both paths."""
+    from v2e2v_tpu.models.emulator import emulate_pack_raw
+    from v2e2v_tpu.ops.voxel import event_preprocess_np
+
+    rng = np.random.default_rng(7)
+    h, w, n = 10, 12, 5
+    base = rng.uniform(40, 150, (h, w)).astype(np.float32)
+    rate = rng.uniform(0.02, 0.3, (h, w)).astype(np.float32)
+    frames = np.clip(
+        np.stack([base * (1 + rate * i) for i in range(n)], 0)[None], 0, 255
+    )
+    t = np.linspace(0, 0.04, n, dtype=np.float32)[None]
+    cfg = det_cfg()
+
+    events, n_raw, _ = emulate_pack_raw(
+        cfg, None, jnp.asarray(frames), jnp.asarray(t), key=KEY
+    )
+    voxel, n_vox, _ = emulate_pack(cfg, None, jnp.asarray(frames), jnp.asarray(t), key=KEY)
+    assert n_raw == int(n_vox) > 0
+
+    # timestamps are in bin units; sorted ascending within batch
+    assert events.shape[1] == 5
+    assert (np.diff(events[:, 0]) >= 0).all()
+    assert events[:, 0].min() > 0 and events[:, 0].max() <= cfg.num_bins - 1
+
+    # voxelize raw events with the reference bilinear rule and compare
+    grid = np.zeros((cfg.num_bins, h, w), np.float32)
+    for tt, x, y, p, b in events:
+        ti = int(np.floor(tt))
+        dt = tt - ti
+        if ti < cfg.num_bins:
+            grid[ti, int(y), int(x)] += p * (1 - dt)
+        if ti + 1 < cfg.num_bins:
+            grid[ti + 1, int(y), int(x)] += p * dt
+    want = event_preprocess_np(grid, mode="std", filter_hot_pixel=False)
+    np.testing.assert_allclose(
+        np.asarray(voxel)[0], np.moveaxis(want, 0, -1), atol=2e-3
+    )
+
+
+def test_raw_mode_state_matches_voxel_mode_state():
+    from v2e2v_tpu.models.emulator import emulate_pack_raw
+
+    rng = np.random.default_rng(8)
+    h, w, n = 8, 8, 4
+    base = rng.uniform(40, 150, (h, w)).astype(np.float32)
+    frames = np.clip(
+        np.stack([base * (1 + 0.1 * i) for i in range(n)], 0)[None], 0, 255
+    )
+    t = np.linspace(0, 0.03, n, dtype=np.float32)[None]
+    cfg = det_cfg()
+
+    _, _, s_raw = emulate_pack_raw(cfg, None, jnp.asarray(frames), jnp.asarray(t), key=KEY)
+    _, _, s_vox = emulate_pack(cfg, None, jnp.asarray(frames), jnp.asarray(t), key=KEY)
+    np.testing.assert_allclose(
+        np.asarray(s_raw.base_log_frame), np.asarray(s_vox.base_log_frame), atol=1e-6
+    )
+    assert float(s_raw.t_previous) == float(s_vox.t_previous)

@@ -343,3 +343,178 @@ def emulate_pack(
         num_events,
         jax.tree_util.tree_map(jax.lax.stop_gradient, new_state),
     )
+
+
+def emulate_pack_raw(
+    cfg: EmulatorConfig,
+    state: EmulatorState | None,
+    frames: jax.Array,
+    t_frames: jax.Array,
+    key: jax.Array | None = None,
+):
+    """Raw-event output mode (reference ``output_mode='raw'``, :504-534).
+
+    Returns ``(events [K, 5] numpy, num_events, new_state)`` where rows are
+    ``[t, x, y, p, batch]`` sorted by timestamp then batch, with ``t`` in
+    voxel-bin units exactly like the reference. The device side produces
+    dense per-iteration masks/timestamps (static ``cfg.max_iters`` bound);
+    event extraction happens on host — raw mode is the offline V2E-generation
+    path, not a training hot loop.
+    """
+    import numpy as np
+
+    voxel_out, masks, ts_iter, pols, num_events, new_state = _emulate_pack_dense(
+        cfg, state, frames, t_frames, key
+    )
+    # masks: [P, I, B, H, W] bool; ts_iter: [P, I, B]; pols: [P, B, H, W]
+    masks = np.asarray(masks)
+    ts_iter = np.asarray(ts_iter)
+    pols = np.asarray(pols)
+
+    p_idx, i_idx, b_idx, y_idx, x_idx = np.nonzero(masks)
+    t_vals = ts_iter[p_idx, i_idx, b_idx]
+    p_vals = pols[p_idx, b_idx, y_idx, x_idx]
+    events = np.stack(
+        [t_vals, x_idx.astype(np.float64), y_idx.astype(np.float64),
+         p_vals, b_idx.astype(np.float64)], axis=1,
+    )
+    # reference sorts by timestamp, then (stable) by batch (:528-534)
+    events = events[np.argsort(events[:, 0], kind="stable")]
+    events = events[np.argsort(events[:, -1], kind="stable")]
+    return events, int(num_events), new_state
+
+
+def _emulate_pack_dense(cfg, state, frames, t_frames, key):
+    """Shared pack emulation returning dense per-iteration event records.
+
+    Same math as ``emulate_pack`` but the iteration loop is a ``lax.scan``
+    over the static ``cfg.max_iters`` so masks/timestamps can be stacked.
+    """
+    b, n, h, w = frames.shape
+    if t_frames.shape[1] not in (2, n):
+        t_frames = t_frames[:, :n]
+    if t_frames.shape[1] == 2:
+        t_float = jnp.linspace(t_frames[0, 0], t_frames[0, -1], n)
+    else:
+        t_float = t_frames[0].astype(jnp.float32)
+
+    duration = (cfg.num_bins - 1) / (n - 1)
+    time_frames = duration * jnp.arange(n, dtype=jnp.float32)
+    window = t_frames[:, -1] - t_frames[:, 0]
+    tr = (cfg.num_bins - 1) * cfg.refractory_period_s / window
+    tr_frames = jnp.broadcast_to(tr[:, None, None], (b, h, w)).astype(jnp.float32)
+
+    frames_rescaled = rescale_intensity_frame(frames)
+    frames_log = lin_log(frames)
+
+    if state is None:
+        assert key is not None
+        state = emulator_init(key, cfg, frames_log[:, 0], tr_frames, t_float[0])
+    else:
+        mem = state.timestamp_mem
+        mem = jnp.where(mem > 0, mem - (cfg.num_bins - 1), mem)
+        mem = jnp.where(mem < 0, -tr_frames, mem)
+        state = state._replace(timestamp_mem=mem)
+
+    if cfg.cutoff_hz > 0:
+        def lp_body(lp, inp):
+            frame_log_n, inten_n, dt = inp
+            lp = low_pass_filter_step(
+                frame_log_n, lp, inten_n, dt, cfg.cutoff_hz, ql=cfg.ql, qs=cfg.qs
+            )
+            return lp, lp
+
+        dts = t_float[1:] - t_float[:-1]
+        lp_final, filtered = jax.lax.scan(
+            lp_body, state.lp_log_frame,
+            (jnp.moveaxis(frames_log[:, 1:], 1, 0),
+             jnp.moveaxis(frames_rescaled[:, 1:], 1, 0), dts),
+        )
+        state = state._replace(lp_log_frame=lp_final)
+    else:
+        filtered = jnp.moveaxis(frames_log[:, 1:], 1, 0)
+
+    pos_thres, neg_thres = state.pos_thres, state.neg_thres
+    pos_pre, neg_pre = state.pos_thres_pre_prob, state.neg_thres_pre_prob
+    noise_rate = state.noise_rate_array
+
+    def pair_step(carry, inputs):
+        base, timestamp_mem, t_prev, key = carry
+        new_frame, inten01, t_n, tf_base = inputs
+
+        delta_time = t_n - t_prev
+        if cfg.leak_rate_hz > 0:
+            key, k_leak = jax.random.split(key)
+            base = subtract_leak_current(
+                k_leak, base, cfg.leak_rate_hz, delta_time, pos_thres,
+                cfg.leak_jitter_fraction, noise_rate,
+            )
+
+        diff = new_frame - base
+        diff = jnp.where(jnp.abs(diff) > 1e-6, diff, 0.0)
+        pol = jnp.sign(diff)
+        c = jnp.where(pol > 0, pos_thres, 0.0) + jnp.where(pol < 0, neg_thres, 0.0)
+        event_counts = jnp.floor(jnp.abs(diff) / (c + 1e-9)).astype(jnp.int32)
+        num_iters = jnp.clip(jnp.max(event_counts, axis=(1, 2)), 1, cfg.max_iters)
+        ts_step = duration / num_iters.astype(jnp.float32)
+
+        if cfg.shot_noise_rate_hz > 0:
+            shot_factor = (
+                (cfg.shot_noise_rate_hz / 2.0) * delta_time
+                / num_iters.astype(jnp.float32)
+            )[:, None, None] * ((cfg.shot_noise_inten_factor - 1.0) * inten01 + 1.0)
+            one_minus_on_prob = 1.0 - shot_factor * pos_pre
+            off_prob = shot_factor * neg_pre
+            key, k_shot = jax.random.split(key)
+        else:
+            one_minus_on_prob = off_prob = k_shot = None
+
+        def iter_body(acc, i):
+            timestamp_mem, num_events, final_evts = acc
+            mask = event_counts >= (i + 1)
+            iter_active = (i < num_iters)[:, None, None]
+
+            if cfg.shot_noise_rate_hz > 0:
+                rand01 = jax.random.uniform(
+                    jax.random.fold_in(k_shot, i), event_counts.shape
+                )
+                shot = jnp.where(pol > 0, rand01 > one_minus_on_prob, False) | (
+                    jnp.where(pol < 0, rand01 < off_prob, False)
+                )
+                mask = mask | (shot & iter_active)
+
+            ts_i = jnp.where(i < num_iters, tf_base + ts_step * (i + 1.0), 0.0)
+            ts_map = jnp.broadcast_to(ts_i[:, None, None], mask.shape)
+
+            if cfg.refractory_period_s > 0:
+                gate = (tr > ts_step)[:, None, None]
+                mask = mask & jnp.where(
+                    gate, (ts_map - timestamp_mem) > tr_frames, True
+                )
+                timestamp_mem = jnp.where(mask & gate, ts_map, timestamp_mem)
+
+            num_events = num_events + jnp.sum(mask, dtype=jnp.int32)
+            final_evts = final_evts + mask.astype(jnp.int32)
+            return (timestamp_mem, num_events, final_evts), (mask, ts_i)
+
+        acc0 = (timestamp_mem, jnp.zeros((), jnp.int32), jnp.zeros_like(event_counts))
+        (timestamp_mem, n_ev, final_evts), (masks, ts_iters) = jax.lax.scan(
+            iter_body, acc0, jnp.arange(cfg.max_iters)
+        )
+        base = base + pol * final_evts.astype(jnp.float32) * c
+        return (base, timestamp_mem, t_n, key), (masks, ts_iters, pol, n_ev)
+
+    carry0 = (state.base_log_frame, state.timestamp_mem, state.t_previous, state.key)
+    inputs = (
+        filtered,
+        jnp.moveaxis(frames_rescaled[:, 1:], 1, 0),
+        t_float[1:],
+        time_frames[:-1],
+    )
+    (base, timestamp_mem, t_prev, key), (masks, ts_iters, pols, n_evs) = jax.lax.scan(
+        pair_step, carry0, inputs
+    )
+    new_state = state._replace(
+        base_log_frame=base, timestamp_mem=timestamp_mem, t_previous=t_prev, key=key
+    )
+    return None, masks, ts_iters, pols, jnp.sum(n_evs), new_state
