@@ -93,15 +93,49 @@ def bench_voxelize(n_events: int = 15000, capacity: int = 16384, chain: int = 50
     return n_events * chain / (time.perf_counter() - t0)
 
 
+def bench_v2e_pack(n_frames: int = 10, hw=(180, 240), chain: int = 20) -> float:
+    """V2E2V emulator pack step (reference still_life config), ms/pack."""
+    import numpy as np
+
+    from v2e2v_tpu.models.emulator import EmulatorConfig, emulate_pack
+
+    h, w = hw
+    cfg = EmulatorConfig(
+        pos_thres=0.6, neg_thres=0.6, sigma_thres=0.03, pl=1.5, ps=0.5,
+        cutoff_hz=200.0, ql=1.0, qs=0.0, refractory_period_s=0.001,
+        leak_rate_hz=0.1, shot_noise_rate_hz=1.0,
+    )
+    rng = np.random.default_rng(0)
+    base = rng.uniform(30, 200, (h, w)).astype(np.float32)
+    rate = rng.uniform(-0.05, 0.12, (h, w)).astype(np.float32)
+    fs = jnp.asarray(
+        np.stack(
+            [np.clip(base * (1 + rate * i * 0.2), 0, 255) for i in range(n_frames)], 0
+        )[None]
+    )
+    ts = jnp.asarray((np.arange(n_frames, dtype=np.float32)[None]) * 0.004)
+    _, _, st = emulate_pack(cfg, None, fs, ts, key=jax.random.PRNGKey(7))
+    f = jax.jit(lambda s, a, b: emulate_pack(cfg, s, a, b))
+    v, n, st = f(st, fs, ts)
+    float(n)
+    t0 = time.perf_counter()
+    for _ in range(chain):
+        v, n, st = f(st, fs, ts)
+    float(v.sum())
+    return (time.perf_counter() - t0) / chain * 1e3
+
+
 def main():
     fps_b1 = bench_e2v(batch=1)
     fps_b8 = bench_e2v(batch=8)
     fps_b8_bf16 = bench_e2v(batch=8, dtype=jnp.bfloat16)
     mev = bench_voxelize()
+    v2e_ms = bench_v2e_pack()
 
     print(
         f"[bench] e2v fp32 b=1: {fps_b1:.0f} fps | fp32 b=8: {fps_b8:.0f} fps/chip | "
-        f"bf16 b=8: {fps_b8_bf16:.0f} fps/chip | voxelize: {mev/1e6:.1f} Mev/s",
+        f"bf16 b=8: {fps_b8_bf16:.0f} fps/chip | voxelize: {mev/1e6:.1f} Mev/s | "
+        f"v2e pack: {v2e_ms:.1f} ms",
         file=sys.stderr,
     )
     value = fps_b8

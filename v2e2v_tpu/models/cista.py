@@ -252,6 +252,7 @@ def cista_sequence(
     voxel_seq: jax.Array,
     prev_image: jax.Array | None = None,
     state: CistaState | None = None,
+    unroll: int = 1,
 ):
     """Reconstruct a sequence of voxel grids with ``lax.scan``.
 
@@ -277,5 +278,10 @@ def cista_sequence(
         rec, st = step(params, cfg, events, prev_img, st)
         return (rec, st), rec
 
-    (_, final_state), recs = jax.lax.scan(body, (prev_image, state), voxel_seq)
+    # unroll buys nothing here (step bodies are ~ms-scale, far above the
+    # ~0.3 ms per-iteration dispatch) and inflates compile time ~30x;
+    # the knob stays for small-body configs
+    (_, final_state), recs = jax.lax.scan(
+        body, (prev_image, state), voxel_seq, unroll=unroll
+    )
     return recs, final_state

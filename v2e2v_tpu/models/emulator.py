@@ -76,6 +76,11 @@ class EmulatorConfig:
     noise_rate_cov_decades: float = 0.1
     max_iters: int = 32  # static bound on events/pixel per frame pair
     shot_noise_inten_factor: float = 0.25
+    # scan unroll factors: per-iteration dispatch is expensive on this
+    # platform (~0.3 ms/step), so unrolling trades compile time for a
+    # large runtime win (see BENCH_NOTES.md)
+    unroll_pairs: int = 1
+    unroll_iters: int = 8
 
 
 class EmulatorState(NamedTuple):
@@ -222,6 +227,7 @@ def emulate_pack(
                 jnp.moveaxis(frames_rescaled[:, 1:], 1, 0),
                 dts,
             ),
+            unroll=cfg.unroll_pairs,
         )
         state = state._replace(lp_log_frame=lp_final)
     else:
@@ -234,7 +240,16 @@ def emulate_pack(
 
     # NOTE: the reference updates base with final_evts_frame (events actually
     # emitted, including shot-noise extras and refractory suppressions). To
-    # keep that exact, fold the base update into the scan carry instead:
+    # keep that exact, fold the base update into the scan carry.
+    #
+    # Vectorized-over-iterations design: candidate masks for ALL max_iters
+    # iterations are computed in one fused pass (including a single batched
+    # shot-noise draw instead of one threefry per iteration), the
+    # bilinear-in-time accumulation is one einsum contraction over the
+    # iteration axis (MXU), and only the refractory last-spike recurrence —
+    # the one true sequential dependency — remains a loop, touching 3 cheap
+    # elementwise ops per iteration. With refractory off there is NO
+    # sequential work at all.
     def pair_step_exact(carry, inputs):
         base, timestamp_mem, t_prev, key = carry
         new_frame, inten01, t_n, tf_base = inputs
@@ -253,8 +268,14 @@ def emulate_pack(
         c = jnp.where(pol > 0, pos_thres, 0.0) + jnp.where(pol < 0, neg_thres, 0.0)
         event_counts = jnp.floor(jnp.abs(diff) / (c + 1e-9)).astype(jnp.int32)
         num_iters = jnp.clip(jnp.max(event_counts, axis=(1, 2)), 1, cfg.max_iters)
-        ts_step = duration / num_iters.astype(jnp.float32)
+        ts_step = duration / num_iters.astype(jnp.float32)  # [B]
         n_iter_max = jnp.max(num_iters)
+
+        n_i = cfg.max_iters
+        iters = jnp.arange(n_i, dtype=jnp.int32)  # [I]
+        # candidate events: prefix-of-iterations property (count >= i+1)
+        cand = event_counts[None] >= (iters[:, None, None, None] + 1)  # [I,B,H,W]
+        cand = cand & (iters[:, None, None, None] < n_iter_max)
 
         if cfg.shot_noise_rate_hz > 0:
             shot_factor = (
@@ -265,48 +286,47 @@ def emulate_pack(
             one_minus_on_prob = 1.0 - shot_factor * pos_pre
             off_prob = shot_factor * neg_pre
             key, k_shot = jax.random.split(key)
+            rand01 = jax.random.uniform(k_shot, (n_i, b, h, w))  # one draw
+            shot = jnp.where(pol[None] > 0, rand01 > one_minus_on_prob[None], False)
+            shot = shot | jnp.where(pol[None] < 0, rand01 < off_prob[None], False)
+            active = iters[:, None] < num_iters[None, :]  # [I,B]
+            cand = cand | (shot & active[:, :, None, None])
+
+        # event times per (iteration, batch), zero beyond num_iters
+        ts_all = jnp.where(
+            iters[:, None] < num_iters[None, :],
+            tf_base + ts_step[None, :] * (iters[:, None] + 1.0),
+            0.0,
+        )  # [I,B]
+
+        if cfg.refractory_period_s > 0:
+            # the last-spike recurrence is the one sequential dependency;
+            # scan over iterations with stacked mask outputs (cheap body:
+            # compare + two selects per step)
+            gate = (tr > ts_step)[:, None, None]  # [B,1,1]
+
+            def refr_body(mem, inp):
+                cand_i, ts_i = inp
+                ts_map = jnp.broadcast_to(ts_i[:, None, None], (b, h, w))
+                m = cand_i & jnp.where(gate, (ts_map - mem) > tr_frames, True)
+                mem = jnp.where(m & gate, ts_map, mem)
+                return mem, m
+
+            timestamp_mem, masks = jax.lax.scan(
+                refr_body, timestamp_mem, (cand, ts_all), unroll=cfg.unroll_iters
+            )
         else:
-            one_minus_on_prob = off_prob = k_shot = None
+            masks = cand
 
-        def iter_body(i, acc):
-            timestamp_mem, voxel, num_events, final_evts = acc
-            mask = event_counts >= (i + 1)
-            iter_active = (i < num_iters)[:, None, None]
+        final_evts = jnp.sum(masks, axis=0, dtype=jnp.int32)  # [B,H,W]
+        n_ev = jnp.sum(final_evts, dtype=jnp.int32)
 
-            if cfg.shot_noise_rate_hz > 0:
-                rand01 = jax.random.uniform(
-                    jax.random.fold_in(k_shot, i), event_counts.shape
-                )
-                shot = jnp.where(pol > 0, rand01 > one_minus_on_prob, False) | (
-                    jnp.where(pol < 0, rand01 < off_prob, False)
-                )
-                mask = mask | (shot & iter_active)
-
-            ts_i = jnp.where(i < num_iters, tf_base + ts_step * (i + 1.0), 0.0)
-            ts_map = jnp.broadcast_to(ts_i[:, None, None], mask.shape)
-
-            if cfg.refractory_period_s > 0:
-                gate = (tr > ts_step)[:, None, None]
-                mask = mask & jnp.where(gate, (ts_map - timestamp_mem) > tr_frames, True)
-                timestamp_mem = jnp.where(mask & gate, ts_map, timestamp_mem)
-
-            num_events = num_events + jnp.sum(mask, dtype=jnp.int32)
-            final_evts = final_evts + mask.astype(jnp.int32)
-            evmap = pol * mask
-
-            bins = jnp.arange(cfg.num_bins, dtype=jnp.float32)
-            wgt = jnp.maximum(0.0, 1.0 - jnp.abs(ts_i[:, None] - bins))
-            voxel = voxel + evmap[..., None] * wgt[:, None, None, :]
-            return (timestamp_mem, voxel, num_events, final_evts)
-
-        acc0 = (
-            timestamp_mem,
-            jnp.zeros((b, h, w, cfg.num_bins), jnp.float32),
-            jnp.zeros((), jnp.int32),
-            jnp.zeros_like(event_counts),
-        )
-        timestamp_mem, voxel_add, n_ev, final_evts = jax.lax.fori_loop(
-            0, n_iter_max, iter_body, acc0
+        # bilinear-in-time accumulation as one contraction over iterations
+        bins = jnp.arange(cfg.num_bins, dtype=jnp.float32)
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(ts_all[..., None] - bins))  # [I,B,nb]
+        evmap = pol[None] * masks  # [I,B,H,W]
+        voxel_add = jnp.einsum(
+            "ibhw,ibn->bhwn", evmap, wgt, preferred_element_type=jnp.float32
         )
 
         # memorized value moves by the emitted events (reference :522)
@@ -321,7 +341,7 @@ def emulate_pack(
         time_frames[:-1],
     )
     (base, timestamp_mem, t_prev, key), (voxels, n_evs) = jax.lax.scan(
-        pair_step_exact, carry0, inputs
+        pair_step_exact, carry0, inputs, unroll=cfg.unroll_pairs
     )
 
     voxel = jnp.sum(voxels, axis=0)
