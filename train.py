@@ -174,4 +174,9 @@ if __name__ == "__main__":
     cfgs = parser.parse_args()
     cfgs.shuffle = True
 
-    Train(cfgs).run()
+    from v2e2v_tpu.utils.profiling import enable_nan_debugging, maybe_profile
+
+    if cfgs.debug_nans:
+        enable_nan_debugging()
+    with maybe_profile(cfgs.profile_dir):
+        Train(cfgs).run()

@@ -133,3 +133,6 @@ def set_configs(parser: argparse.ArgumentParser) -> None:
     tpu.add_argument("--seed", default=0, type=int, help="PRNG seed")
     tpu.add_argument("--profile_dir", default=None, type=str,
                      help="If set, write a jax.profiler trace here")
+    tpu.add_argument("--debug_nans", dest="debug_nans", action="store_true",
+                     help="Enable jax_debug_nans (abort on first NaN)")
+    tpu.set_defaults(debug_nans=False)

@@ -1,0 +1,31 @@
+"""Tracing / debugging hooks (SURVEY.md §5 aux subsystems).
+
+The reference has no profiling or sanitizers (progress prints only). Here:
+``maybe_profile`` wraps a region in a ``jax.profiler`` trace when the CLI
+flag ``--profile_dir`` is set, and ``enable_nan_debugging`` turns on
+``jax_debug_nans`` (the TPU-appropriate race/NaN sanitizer analog).
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+
+@contextlib.contextmanager
+def maybe_profile(profile_dir: str | None):
+    if not profile_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(profile_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def enable_nan_debugging(enabled: bool = True) -> None:
+    import jax
+
+    jax.config.update("jax_debug_nans", enabled)
