@@ -141,4 +141,8 @@ if __name__ == "__main__":
     set_configs(parser)
     cfgs = parser.parse_args()
 
+    from v2e2v_tpu.utils.profiling import apply_platform_override
+
+    apply_platform_override()
+
     V2E2V(cfgs).run()

@@ -157,3 +157,68 @@ def test_cista_lstc_jit_and_grad():
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
     # gradient reaches the earliest layers through the recurrence
     assert float(jnp.abs(g["We"]["weight"]).max()) > 0
+
+
+def _torch_tc_oracle(params, cfg, events, prev_img, state):
+    """Reference CistaTCNet.forward math (e2v_model.py:146-197) in torch."""
+    _, z_prev, (dg_h, dg_c) = state
+    x_e = _conv(events, params["We"])
+    x_i = _conv(prev_img, params["Wi"])
+    x1 = _conv(torch.cat([x_e, x_i], 1), params["W0"], stride=2)
+    z = _conv(x1, params["P0"])
+    tmp = z
+
+    one_prev = _conv(z_prev, params["one_conv_for_prev"])
+    lam = torch.from_numpy(np.asarray(params["lista"]["Lambda"])).view(1, -1, 1, 1)
+    alpha = torch.from_numpy(np.asarray(params["alpha"])).view(1, -1, 1, 1)
+    for _ in range(cfg.depth):
+        one_cur = _conv(tmp, params["one_conv_for_cur"])
+        attention = torch.sigmoid(one_prev * one_cur)
+        temporal_z = attention * ((z_prev - tmp) * alpha)
+        tmp = _conv(tmp, params["lista"]["D"])
+        x = _conv(x1 - tmp, params["lista"]["P"]) + z + temporal_z
+        z = torch.relu(x - lam) - torch.relu(-x - lam)
+        tmp = z
+
+    x = _conv(z, params["Dg"]["conv"], act="relu")
+    g = _conv(torch.cat([x, dg_h], 1), params["Dg"]["lstm"]["Gates"])
+    i_g, r_g, o_g, c_g = g.chunk(4, 1)
+    dg_c = torch.sigmoid(r_g) * dg_c + torch.sigmoid(i_g) * torch.tanh(c_g)
+    dg_h = torch.sigmoid(o_g) * torch.tanh(dg_c)
+
+    up = F.interpolate(dg_h, size=cfg.image_dim, mode="bilinear", align_corners=False)
+    rec = _conv(up, params["upsamp_conv"])  # TC: no activation (:127)
+    rec = _conv(rec, params["final_conv"])
+    return torch.sigmoid(rec), (None, z, (dg_h, dg_c))
+
+
+def test_cista_tc_matches_torch_oracle_two_steps():
+    from v2e2v_tpu.models.cista import init_cista_tc
+
+    cfg = CistaConfig(
+        image_dim=(H, W), base_channels=C, depth=DEPTH, num_bins=NB,
+        model_mode="cista-tc",
+    )
+    params = init_cista_tc(jax.random.PRNGKey(10), cfg)
+    params["alpha"] = jnp.asarray(
+        np.random.default_rng(0).uniform(0.2, 1.0, (2 * C,)).astype(np.float32)
+    )
+
+    torch.manual_seed(1)
+    events1 = torch.randn(1, NB, H, W)
+    events2 = torch.randn(1, NB, H, W)
+    prev = torch.zeros(1, 1, H, W)
+
+    zeros2 = torch.zeros(1, 2 * C, H // 2, W // 2)
+    zeros1 = torch.zeros(1, C, H // 2, W // 2)
+    t_state = (None, zeros2, (zeros1, zeros1))
+    t_rec1, t_state = _torch_tc_oracle(params, cfg, events1, prev, t_state)
+    t_rec2, t_state = _torch_tc_oracle(params, cfg, events2, t_rec1, t_state)
+
+    j_state = cista_zero_state(cfg, 1)
+    j_rec1, j_state = cista_tc_step(params, cfg, _nhwc(events1), _nhwc(prev), j_state)
+    j_rec2, j_state = cista_tc_step(params, cfg, _nhwc(events2), j_rec1, j_state)
+
+    np.testing.assert_allclose(_nchw(j_rec1), t_rec1.numpy(), atol=3e-5)
+    np.testing.assert_allclose(_nchw(j_rec2), t_rec2.numpy(), atol=3e-5)
+    np.testing.assert_allclose(_nchw(j_state.z), t_state[1].numpy(), atol=3e-5)

@@ -173,3 +173,33 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(back["params"]["We"]["weight"]), np.asarray(params["We"]["weight"])
     )
+
+
+def test_prefetch_iterator_order_and_errors():
+    from v2e2v_tpu.data.prefetch import prefetch_iterator
+
+    assert list(prefetch_iterator(range(10), size=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = prefetch_iterator(boom(), size=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(it)
+
+
+def test_device_prefetch_places_on_device():
+    import jax
+    import numpy as np
+
+    from v2e2v_tpu.data.prefetch import device_prefetch
+
+    batches = [(np.ones((2, 3)), np.zeros((2,))) for _ in range(3)]
+    out = list(
+        device_prefetch(batches, transform=lambda b: (b[0] * 2, b[1]))
+    )
+    assert len(out) == 3
+    assert isinstance(out[0][0], jax.Array)
+    np.testing.assert_array_equal(np.asarray(out[0][0]), 2 * np.ones((2, 3)))

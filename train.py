@@ -174,7 +174,13 @@ if __name__ == "__main__":
     cfgs = parser.parse_args()
     cfgs.shuffle = True
 
-    from v2e2v_tpu.utils.profiling import enable_nan_debugging, maybe_profile
+    from v2e2v_tpu.utils.profiling import (
+        apply_platform_override,
+        enable_nan_debugging,
+        maybe_profile,
+    )
+
+    apply_platform_override()
 
     if cfgs.debug_nans:
         enable_nan_debugging()

@@ -97,6 +97,16 @@ class Train:
             os.path.join("summary", self.model_name), enabled=cfgs.is_SummaryWriter
         )
 
+        from v2e2v_tpu.data.prefetch import device_prefetch
+        from v2e2v_tpu.parallel.mesh import batch_sharding
+
+        seq_shard = batch_sharding(self.mesh, time_leading=True)
+        gt_shard = batch_sharding(self.mesh, time_leading=False)
+
+        def to_device_layout(batch):
+            seq_events, _img, gt = batch  # [B,T,H,W,nb], ..., [B,H,W,1]
+            return np.moveaxis(seq_events, 1, 0), gt  # [T,B,H,W,nb]
+
         step_idx = 0
         for epoch in range(cfgs.load_epoch_for_train, cfgs.epochs):
             lr = float(self.lr_for_epoch(epoch))
@@ -104,11 +114,15 @@ class Train:
             print(f"lr: {lr}")
             t_epoch = time.time()
             n_batches = 0
-            for batch in iterate_batches(
-                self.train_data, cfgs.batch_size, cfgs.shuffle, seed=cfgs.seed + epoch
+            # background host pipeline + one-step-early device placement
+            for voxel_seq, gt in device_prefetch(
+                iterate_batches(
+                    self.train_data, cfgs.batch_size, cfgs.shuffle,
+                    seed=cfgs.seed + epoch,
+                ),
+                transform=to_device_layout,
+                sharding=(seq_shard, gt_shard),
             ):
-                seq_events, _img, gt = batch  # [B,T,H,W,nb], [B,H,W,1], [B,H,W,1]
-                voxel_seq = np.moveaxis(seq_events, 1, 0)  # [T,B,H,W,nb]
                 self.params, self.opt_state, loss = self.train_step(
                     self.params, self.opt_state, voxel_seq, gt
                 )
@@ -138,7 +152,13 @@ if __name__ == "__main__":
     cfgs = parser.parse_args()
     cfgs.shuffle = True
 
-    from v2e2v_tpu.utils.profiling import enable_nan_debugging, maybe_profile
+    from v2e2v_tpu.utils.profiling import (
+        apply_platform_override,
+        enable_nan_debugging,
+        maybe_profile,
+    )
+
+    apply_platform_override()
 
     if cfgs.debug_nans:
         enable_nan_debugging()

@@ -29,3 +29,16 @@ def enable_nan_debugging(enabled: bool = True) -> None:
     import jax
 
     jax.config.update("jax_debug_nans", enabled)
+
+
+def apply_platform_override() -> None:
+    """Honor ``V2E2V_PLATFORM`` (e.g. 'cpu') — this environment's TPU plugin
+    forces ``jax_platforms`` at interpreter start, so a plain JAX_PLATFORMS
+    env var is ignored; CLIs call this before first backend use."""
+    import os
+
+    platform = os.environ.get("V2E2V_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
