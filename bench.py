@@ -23,6 +23,7 @@ deliberately generous baseline constant.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -126,18 +127,31 @@ def bench_v2e_pack(n_frames: int = 10, hw=(180, 240), chain: int = 20) -> float:
 
 
 def main():
-    fps_b1 = bench_e2v(batch=1)
-    fps_b8 = bench_e2v(batch=8)
-    fps_b8_bf16 = bench_e2v(batch=8, dtype=jnp.bfloat16)
-    mev = bench_voxelize()
-    v2e_ms = bench_v2e_pack()
+    # Remote compile times on this platform vary 10s-500s per program; the
+    # headline must always land, so measure it first and fit the secondary
+    # metrics into the remaining time budget.
+    t_start = time.time()
+    budget_s = float(os.environ.get("V2E2V_BENCH_BUDGET_S", "480"))
 
-    print(
-        f"[bench] e2v fp32 b=1: {fps_b1:.0f} fps | fp32 b=8: {fps_b8:.0f} fps/chip | "
-        f"bf16 b=8: {fps_b8_bf16:.0f} fps/chip | voxelize: {mev/1e6:.1f} Mev/s | "
-        f"v2e pack: {v2e_ms:.1f} ms",
-        file=sys.stderr,
-    )
+    fps_b8 = bench_e2v(batch=8)
+
+    extras = {}
+    for name, fn in (
+        ("e2v_fp32_b1_fps", lambda: bench_e2v(batch=1)),
+        ("e2v_bf16_b8_fps", lambda: bench_e2v(batch=8, dtype=jnp.bfloat16)),
+        ("voxelize_mev_s", lambda: bench_voxelize() / 1e6),
+        ("v2e_pack_ms", bench_v2e_pack),
+    ):
+        if time.time() - t_start > budget_s:
+            print(f"[bench] budget hit; skipping {name}+", file=sys.stderr)
+            break
+        try:
+            extras[name] = round(float(fn()), 1)
+        except Exception as e:  # secondary metrics must not sink the headline
+            print(f"[bench] {name} failed: {e}", file=sys.stderr)
+
+    print(f"[bench] e2v fp32 b=8: {fps_b8:.0f} fps/chip | extras: {extras}",
+          file=sys.stderr)
     value = fps_b8
     print(
         json.dumps(
