@@ -30,8 +30,7 @@ class Train:
 
         from v2e2v_tpu.data.datasets import TrainSeqData
         from v2e2v_tpu.models.cista import init_cista_lstc
-        from v2e2v_tpu.models.v2e2v import V2E2VConfig, v2e2v_forward
-        from v2e2v_tpu.training.losses import many_to_one_loss
+        from v2e2v_tpu.models.v2e2v import V2E2VConfig
         from v2e2v_tpu.training.lpips_jax import make_lpips_fn
         from v2e2v_tpu.utils.checkpoint import (
             load_checkpoint,
@@ -91,28 +90,14 @@ class Train:
         lpips_fn = make_lpips_fn()
         if lpips_fn is None:
             print("LPIPS weights unavailable; training with L1 + (1 - SSIM) only")
-        cfg = self.cfg
 
-        def loss_fn(params, frames_seq, ts_seq, gt, key):
-            # frames_seq [T,B,N,H,W], ts_seq [T,B,N], gt [B,H,W,1]
-            state = None
-            out = None
-            t_len = frames_seq.shape[0]
-            for s in range(t_len):  # python-unrolled BPTT window
-                out, state = v2e2v_forward(
-                    params, cfg, frames_seq[s], ts_seq[s], state, key=key
-                )
-            rec = jnp.clip(out.reconstruction, 1e-7, 1 - 1e-7)
-            return many_to_one_loss(rec, gt, lpips_fn=lpips_fn)
+        from v2e2v_tpu.parallel.mesh import make_mesh, make_v2e2v_train_step
 
-        @jax.jit
-        def train_step(params, opt_state, frames_seq, ts_seq, gt, key):
-            loss, grads = jax.value_and_grad(loss_fn)(params, frames_seq, ts_seq, gt, key)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
-
-        self.train_step = train_step
+        n_data = cfgs.mesh_data if cfgs.mesh_data > 0 else None
+        self.mesh = make_mesh(n_data, 1)
+        self.train_step = make_v2e2v_train_step(
+            self.cfg, self.tx, self.mesh, lpips_fn=lpips_fn
+        )
 
     def run(self):
         import jax

@@ -88,3 +88,53 @@ def make_e2v_train_step(
         out_shardings=(rep, rep, rep),
         donate_argnums=(0, 1),
     )
+
+
+def make_v2e2v_train_step(
+    cfg,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    lpips_fn=None,
+    clamp: tuple[float, float] = (1e-7, 1.0 - 1e-7),
+):
+    """pjit-compiled V2E2V many-to-one training step.
+
+    The whole BPTT window — emulator packs + reconstructions — traces into
+    one jitted update (reference ``train.py:102-161`` semantics: loss on the
+    final reconstruction, output clamped). Frames/timestamps are sharded on
+    the ``data`` axis; spatial sharding is intentionally NOT applied to the
+    emulator (its per-batch reductions are cheap; convs dominate).
+
+    Step signature: ``(params, opt_state, frames_seq [T,B,N,H,W],
+    ts_seq [T,B,N], gt [B,H,W,1], key) -> (params, opt_state, loss)``.
+    """
+    from ..models.v2e2v import v2e2v_forward
+    from ..training.losses import many_to_one_loss
+
+    rep = replicated(mesh)
+    frames_shard = NamedSharding(mesh, P(None, "data", None, None, None))
+    ts_shard = NamedSharding(mesh, P(None, "data", None))
+    gt_shard = NamedSharding(mesh, P("data", None, None, None))
+
+    def loss_fn(params, frames_seq, ts_seq, gt, key):
+        state = None
+        out = None
+        for s in range(frames_seq.shape[0]):  # python-unrolled BPTT window
+            out, state = v2e2v_forward(
+                params, cfg, frames_seq[s], ts_seq[s], state, key=key
+            )
+        rec = jnp.clip(out.reconstruction, clamp[0], clamp[1])
+        return many_to_one_loss(rec, gt, lpips_fn=lpips_fn)
+
+    def step(params, opt_state, frames_seq, ts_seq, gt, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, frames_seq, ts_seq, gt, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, frames_shard, ts_shard, gt_shard, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
