@@ -71,3 +71,22 @@ def test_normalize_image_percentile_clamps():
     out = normalize_image_percentile(img)
     assert out.min() >= 0.0 and out.max() <= 1.0
     assert 0.4 < np.median(out) < 0.6
+
+
+def test_training_ssim_bounded_on_near_constant_images():
+    """Regression: SSIM must stay in [-1, 1] even when one image is nearly
+    constant (variance ~ conv rounding error). On TPU this requires
+    precision=HIGHEST inside the gaussian blur — with default conv precision
+    the variance cancellation produced |SSIM| >> 1 and noise gradients."""
+    import jax.numpy as jnp
+
+    from v2e2v_tpu.training.losses import ssim as ssim_train
+
+    rng = np.random.default_rng(5)
+    for _ in range(5):
+        rec = jnp.asarray(
+            (0.5 + 0.002 * rng.standard_normal((1, 64, 80, 1))).astype(np.float32)
+        )
+        gt = jnp.asarray(rng.uniform(0, 1, (1, 64, 80, 1)).astype(np.float32))
+        v = float(ssim_train(rec, gt))
+        assert -1.0 <= v <= 1.0 + 1e-5

@@ -116,6 +116,7 @@ class Train:
             self.opt_state.hyperparams["learning_rate"] = np.asarray(lr, np.float32)
             print(f"lr: {lr}")
             t_epoch = time.time()
+            epoch_loss_sum = 0.0
             for n_batches, batch in enumerate(
                 iterate_batches(
                     self.train_data, cfgs.batch_size, cfgs.shuffle, seed=cfgs.seed + epoch
@@ -130,8 +131,9 @@ class Train:
                 self.params, self.opt_state, loss = self.train_step(
                     self.params, self.opt_state, frames_seq, ts_seq, gt, key
                 )
+                loss = float(loss)
+                epoch_loss_sum += loss
                 if n_batches % 50 == 0:
-                    loss = float(loss)
                     print(
                         f"Train Epoch: {epoch + 1} [{n_batches * cfgs.batch_size}/"
                         f"{len(self.train_data)}]\tloss: {loss:.6f}"
@@ -139,7 +141,12 @@ class Train:
                     logger.scalar("loss", loss, step_idx)
                 step_idx += 1
 
-            print(f"epoch {epoch + 1} done in {time.time() - t_epoch:.1f}s")
+            mean_loss = epoch_loss_sum / max(n_batches + 1, 1)
+            print(
+                f"epoch {epoch + 1} done in {time.time() - t_epoch:.1f}s, "
+                f"mean loss {mean_loss:.5f}"
+            )
+            logger.scalar("epoch_mean_loss", mean_loss, epoch)
             self._save_checkpoint(
                 os.path.join(self.path_to_model, f"{self.model_name}_{epoch + 1}"),
                 {

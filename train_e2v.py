@@ -114,6 +114,7 @@ class Train:
             print(f"lr: {lr}")
             t_epoch = time.time()
             n_batches = 0
+            epoch_loss_sum = 0.0
             # background host pipeline + one-step-early device placement
             for voxel_seq, gt in device_prefetch(
                 iterate_batches(
@@ -126,8 +127,9 @@ class Train:
                 self.params, self.opt_state, loss = self.train_step(
                     self.params, self.opt_state, voxel_seq, gt
                 )
+                loss = float(loss)
+                epoch_loss_sum += loss
                 if n_batches % 50 == 0:
-                    loss = float(loss)
                     print(
                         f"Train Epoch: {epoch + 1} [{n_batches * cfgs.batch_size}/"
                         f"{len(self.train_data)}]\tloss: {loss:.6f}"
@@ -136,7 +138,12 @@ class Train:
                 n_batches += 1
                 step_idx += 1
 
-            print(f"epoch {epoch + 1} done in {time.time() - t_epoch:.1f}s")
+            mean_loss = epoch_loss_sum / max(n_batches, 1)
+            print(
+                f"epoch {epoch + 1} done in {time.time() - t_epoch:.1f}s, "
+                f"mean loss {mean_loss:.5f}"
+            )
+            logger.scalar("epoch_mean_loss", mean_loss, epoch)
             self._save_checkpoint(
                 os.path.join(self.path_to_model, f"{self.model_name}_{epoch + 1}"),
                 {"epoch": epoch, "params": self.params},

@@ -43,12 +43,6 @@ _DEFAULT_CKPT = os.path.join("upsampling", "checkpoint", "SuperSloMo.ckpt")
 # UNet
 # ---------------------------------------------------------------------------
 
-_PLAN = [
-    ("conv1", 7), ("conv2", 7),
-    ("down1", 5), ("down2", 3), ("down3", 3), ("down4", 3), ("down5", 3),
-    ("up1", 3), ("up2", 3), ("up3", 3), ("up4", 3), ("up5", 3),
-    ("conv3", 3),
-]
 _CH = {"down1": 64, "down2": 128, "down3": 256, "down4": 512, "down5": 512,
        "up1": 512, "up2": 256, "up3": 128, "up4": 64, "up5": 32}
 

@@ -78,11 +78,9 @@ class CropParameters:
     def pad(self, x: jax.Array) -> jax.Array:
         """Reflection-pad NHWC (or ...HWC / ...HW) input up to crop size."""
         pads = [(0, 0)] * x.ndim
+        # channel-last (..., H, W, C) for ndim >= 3, else (..., H, W)
         h_axis = x.ndim - 3 if x.ndim >= 3 else x.ndim - 2
         w_axis = h_axis + 1
-        if x.ndim >= 3:
-            # assume channel-last layout (..., H, W, C)
-            h_axis, w_axis = x.ndim - 3, x.ndim - 2
         pads[h_axis] = (self.padding_top, self.padding_bottom)
         pads[w_axis] = (self.padding_left, self.padding_right)
         return jnp.pad(x, pads, mode="reflect")

@@ -16,8 +16,6 @@ TPU-first scaling design (no reference analog — the torch repo is single-GPU,
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -22,7 +22,15 @@ def _gaussian_kernel1d(win_size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _gaussian_blur(x: jax.Array, win_size: int, sigma: float) -> jax.Array:
-    """Separable depthwise gaussian filter on NHWC, VALID padding."""
+    """Separable depthwise gaussian filter on NHWC, VALID padding.
+
+    precision=HIGHEST is load-bearing: SSIM computes variances as
+    ``blur(x^2) - mu^2``, a catastrophic cancellation. TPU's default conv
+    precision truncates mantissas, which on near-constant windows makes the
+    variance garbage at the scale of the C2 stabilizer — SSIM then leaves
+    [-1, 1] and its gradient turns to noise (observed: training diverged on
+    TPU while converging on CPU).
+    """
     c = x.shape[-1]
     k = jnp.asarray(_gaussian_kernel1d(win_size, sigma))
     kh = jnp.tile(k.reshape(win_size, 1, 1, 1), (1, 1, 1, c))
@@ -30,11 +38,11 @@ def _gaussian_blur(x: jax.Array, win_size: int, sigma: float) -> jax.Array:
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(
         x, kh.astype(x.dtype), (1, 1), "VALID", dimension_numbers=dn,
-        feature_group_count=c,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
     )
     y = jax.lax.conv_general_dilated(
         y, kw.astype(x.dtype), (1, 1), "VALID", dimension_numbers=dn,
-        feature_group_count=c,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
     )
     return y
 
