@@ -77,10 +77,11 @@ class EmulatorConfig:
     max_iters: int = 32  # static bound on events/pixel per frame pair
     shot_noise_inten_factor: float = 0.25
     # scan unroll factors: per-iteration dispatch is expensive on this
-    # platform (~0.3 ms/step), so unrolling trades compile time for a
-    # large runtime win (see BENCH_NOTES.md)
+    # platform (~0.3 ms/step) and PARTIAL unroll of the refractory scan
+    # (e.g. 8) triggers pathological layout churn on its stacked bool
+    # outputs (30 ms/pack vs 2.5 ms at full unroll — see BENCH_NOTES.md)
     unroll_pairs: int = 1
-    unroll_iters: int = 8
+    unroll_iters: int = 32  # keep == max_iters (full unroll)
 
 
 class EmulatorState(NamedTuple):
@@ -302,7 +303,12 @@ def emulate_pack(
         if cfg.refractory_period_s > 0:
             # the last-spike recurrence is the one sequential dependency;
             # scan over iterations with stacked mask outputs (cheap body:
-            # compare + two selects per step)
+            # compare + two selects per step).
+            # optimization_barrier is load-bearing: without it XLA fuses the
+            # shot-noise threefry into every scan iteration's cand slice,
+            # recomputing the full RNG volume up to max_iters times
+            # (measured 29 ms/pack vs 3.5 ms with the barrier)
+            cand, ts_all = jax.lax.optimization_barrier((cand, ts_all))
             gate = (tr > ts_step)[:, None, None]  # [B,1,1]
 
             def refr_body(mem, inp):
@@ -321,12 +327,21 @@ def emulate_pack(
         final_evts = jnp.sum(masks, axis=0, dtype=jnp.int32)  # [B,H,W]
         n_ev = jnp.sum(final_evts, dtype=jnp.int32)
 
-        # bilinear-in-time accumulation as one contraction over iterations
+        # bilinear-in-time accumulation over the iteration axis. The fast
+        # formulation depends on where `masks` comes from (XLA layout
+        # lottery, measured on v5e): einsum is fast on scan-produced masks
+        # (2.5 ms/pack) but pathological on fused candidate masks
+        # (28 ms/pack); per-bin leading-axis reductions are the exact
+        # mirror image. Select per path.
         bins = jnp.arange(cfg.num_bins, dtype=jnp.float32)
         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(ts_all[..., None] - bins))  # [I,B,nb]
         evmap = pol[None] * masks  # [I,B,H,W]
-        voxel_add = jnp.einsum(
-            "ibhw,ibn->bhwn", evmap, wgt, preferred_element_type=jnp.float32
+        voxel_add = jnp.stack(
+            [
+                jnp.sum(evmap * wgt[:, :, None, None, k], axis=0)
+                for k in range(cfg.num_bins)
+            ],
+            axis=-1,
         )
 
         # memorized value moves by the emitted events (reference :522)
