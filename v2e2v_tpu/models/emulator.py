@@ -303,11 +303,8 @@ def emulate_pack(
         if cfg.refractory_period_s > 0:
             # the last-spike recurrence is the one sequential dependency;
             # scan over iterations with stacked mask outputs (cheap body:
-            # compare + two selects per step).
-            # optimization_barrier is load-bearing: without it XLA fuses the
-            # shot-noise threefry into every scan iteration's cand slice,
-            # recomputing the full RNG volume up to max_iters times
-            # (measured 29 ms/pack vs 3.5 ms with the barrier)
+            # compare + two selects per step). The barrier keeps the
+            # candidate/timestamp computation out of the scan body.
             cand, ts_all = jax.lax.optimization_barrier((cand, ts_all))
             gate = (tr > ts_step)[:, None, None]  # [B,1,1]
 
