@@ -59,6 +59,7 @@ def main():
 
         state = None
         pack_idx = 0
+        interval_idx = 0
         total = 0
         n = cfgs.num_pack_frames
         num_packs = int(np.floor(reader.num_frames / (n - 1))) - 1
@@ -74,18 +75,31 @@ def main():
                 jnp.asarray(timestamps, jnp.float32)[None],
                 key=key,
             )
-            # bin units -> seconds over this pack's window
+            # bin units -> seconds over this pack's window, then split per
+            # frame interval (documented layout: events_i.npz holds the raw
+            # events between frame_i and frame_i+1)
             t_sec = t0 + events[:, 0] * (t_span / max(cfgs.num_bins - 1, 1))
-            np.savez(
-                os.path.join(out_dir, f"events_{pack_idx:010d}.npz"),
-                t=t_sec,
-                x=events[:, 1].astype(np.int16),
-                y=events[:, 2].astype(np.int16),
-                p=events[:, 3].astype(np.int16),
-            )
+            n_pairs = frames.shape[0] - 1
+            bounds = np.asarray(timestamps[: frames.shape[0]], np.float64)
+            order = np.argsort(t_sec, kind="stable")
+            t_sorted = t_sec[order]
+            ev_sorted = events[order]
+            for j in range(n_pairs):
+                lo = np.searchsorted(t_sorted, bounds[j], side="left" if j else "right")
+                hi = np.searchsorted(t_sorted, bounds[j + 1], side="right")
+                if j == 0:
+                    lo = 0
+                np.savez(
+                    os.path.join(out_dir, f"events_{interval_idx:010d}.npz"),
+                    t=t_sorted[lo:hi],
+                    x=ev_sorted[lo:hi, 1].astype(np.int16),
+                    y=ev_sorted[lo:hi, 2].astype(np.int16),
+                    p=ev_sorted[lo:hi, 3].astype(np.int16),
+                )
+                interval_idx += 1
             total += n_ev
             pack_idx += 1
-        print(f"{name}: {pack_idx} packs, {total} events -> {out_dir}")
+        print(f"{name}: {pack_idx} packs / {interval_idx} intervals, {total} events -> {out_dir}")
 
 
 if __name__ == "__main__":

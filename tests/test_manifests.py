@@ -71,3 +71,25 @@ def test_image_sequence_iterator(synth_dir):
     assert len(pairs) == 15
     img0, img1, t0, t1 = pairs[0]
     assert img0.shape == (24, 32) and t1 > t0
+
+
+def test_make_train_e2v_txt_roundtrip(synth_dir):
+    """Generated-events manifest round-trips through TrainFixNEventData."""
+    import argparse
+
+    from v2e2v_tpu.data.datasets import TrainFixNEventData
+    from v2e2v_tpu.data.manifests import make_train_e2v_txt
+    from v2e2v_tpu.utils.configs import set_configs
+
+    n = make_train_e2v_txt(synth_dir, "gen_e2v.txt")
+    assert n > 0
+    parser = argparse.ArgumentParser()
+    set_configs(parser)
+    cfgs = parser.parse_args(
+        ["--path_to_train_data", synth_dir, "--image_dim", "24", "32",
+         "--num_events", "100", "--len_sequence", "2"]
+    )
+    ds = TrainFixNEventData(os.path.join(synth_dir, "gen_e2v.txt"), cfgs)
+    assert len(ds) > 0
+    seq_events, img, gt = ds[0]
+    assert seq_events.shape[-1] == 5

@@ -179,3 +179,37 @@ class VideoSequence:
             prev = gray
             idx += 1
         cap.release()
+
+
+def make_train_e2v_txt(data_dir: str, txt_name: str = "train_e2v.txt") -> int:
+    """Write a ``TrainFixNEventData`` manifest from sequences with
+    per-interval event npz files (e.g. produced by
+    ``scripts/generate_events.py``):
+
+        seq_id num_events t0 t1 frame0 frame1 events.npz
+
+    Returns the number of lines written.
+    """
+    import numpy as np
+
+    lines = []
+    seq_idx = 0
+    for seq_name in sorted(os.listdir(data_dir)):
+        listed = _list_sequence(os.path.join(data_dir, seq_name))
+        if listed is None:
+            continue
+        frames, events, timestamps = listed
+        if not events:
+            continue
+        seq_idx += 1
+        n = min(len(events), len(frames) - 1)
+        for i in range(n):
+            ev_path = os.path.join(data_dir, events[i])
+            num_events = len(np.load(ev_path)["t"])
+            lines.append(
+                f"{seq_idx} {num_events} {timestamps[i]} {timestamps[i + 1]} "
+                f"{frames[i]} {frames[i + 1]} {events[i]}"
+            )
+    with open(os.path.join(data_dir, txt_name), "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+    return len(lines)
