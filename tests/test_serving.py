@@ -1,0 +1,81 @@
+"""StreamPool: isolation between streams, attach/detach slot reuse."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from v2e2v_tpu.models.cista import (
+    CistaConfig,
+    cista_lstc_step,
+    cista_zero_state,
+    init_cista_lstc,
+)
+from v2e2v_tpu.serving import StreamPool
+
+H, W, NB = 16, 20, 5
+
+
+def _pool(capacity=4):
+    cfg = CistaConfig(image_dim=(H, W), base_channels=8, depth=2, num_bins=NB)
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    return cfg, params, StreamPool(cfg, params, capacity=capacity, dtype=jnp.float32)
+
+
+def _vox(seed):
+    return np.random.default_rng(seed).normal(size=(H, W, NB)).astype(np.float32)
+
+
+def test_pool_matches_single_stream_sequence():
+    cfg, params, pool = _pool()
+    sid = pool.attach()
+
+    state = cista_zero_state(cfg, 1)
+    prev = jnp.zeros((1, H, W, 1))
+    for i in range(3):
+        vox = _vox(i)
+        out = pool.step({sid: vox})[sid]
+        rec, state = cista_lstc_step(params, cfg, jnp.asarray(vox)[None], prev, state)
+        prev = rec
+        np.testing.assert_allclose(out, np.asarray(rec[0, ..., 0]), atol=1e-5)
+
+
+def test_streams_are_isolated():
+    """Stepping stream B must not perturb idle stream A's state."""
+    _, _, pool = _pool()
+    a = pool.attach()
+    b = pool.attach()
+
+    out_a1 = pool.step({a: _vox(0)})[a]
+    # step b twice while a idles
+    pool.step({b: _vox(1)})
+    pool.step({b: _vox(2)})
+    out_a2 = pool.step({a: _vox(3)})[a]
+
+    # reference: a alone in a fresh pool
+    _, _, solo = _pool()
+    s = solo.attach()
+    ref1 = solo.step({s: _vox(0)})[s]
+    ref2 = solo.step({s: _vox(3)})[s]
+    np.testing.assert_allclose(out_a1, ref1, atol=1e-5)
+    np.testing.assert_allclose(out_a2, ref2, atol=1e-5)
+
+
+def test_detach_reuses_slot_with_fresh_state():
+    _, _, pool = _pool(capacity=1)
+    a = pool.attach()
+    out_a = pool.step({a: _vox(0)})[a]
+    pool.detach(a)
+
+    b = pool.attach()  # reuses the slot
+    out_b = pool.step({b: _vox(0)})[b]
+    np.testing.assert_allclose(out_b, out_a, atol=1e-5)  # fresh state, same input
+
+
+def test_pool_capacity_enforced():
+    import pytest
+
+    _, _, pool = _pool(capacity=2)
+    pool.attach()
+    pool.attach()
+    with pytest.raises(RuntimeError, match="full"):
+        pool.attach()

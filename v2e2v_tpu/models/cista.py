@@ -79,11 +79,14 @@ class CistaState(NamedTuple):
 
 
 def cista_zero_state(cfg: CistaConfig, batch: int, dtype=jnp.float32) -> CistaState:
+    # distinct buffers per leaf — aliased zeros break buffer donation
     h2, w2 = cfg.image_dim[0] // 2, cfg.image_dim[1] // 2
     c = cfg.base_channels
-    z2 = jnp.zeros((batch, h2, w2, 2 * c), dtype)
-    z1 = jnp.zeros((batch, h2, w2, c), dtype)
-    return CistaState(cell=z2, z=z2, dg=(z1, z1))
+
+    def zeros(ch):
+        return jnp.zeros((batch, h2, w2, ch), dtype)
+
+    return CistaState(cell=zeros(2 * c), z=zeros(2 * c), dg=(zeros(c), zeros(c)))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,137 @@
+"""Production serving: batched multi-stream E2V reconstruction.
+
+The recurrence is serial per stream but embarrassingly parallel across
+streams; per-chip throughput comes from stepping many independent event
+streams as one batched, jitted call (bf16 by default — validated to match
+fp32 eval metrics to the 4th decimal, BENCH_NOTES.md). This module keeps a
+fixed-capacity stream pool on device: slots hold each stream's recurrent
+state + previous reconstruction; attach/detach only touches the affected
+slot's state (masked reset on device, no reshapes/recompiles).
+
+Typical use:
+
+    pool = StreamPool(cfg, params, capacity=8)
+    sid = pool.attach()                    # new camera stream
+    recs = pool.step({sid: voxel_grid})    # step any subset; others idle
+    pool.detach(sid)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.cista import CistaConfig, cista_lstc_step, cista_zero_state
+
+
+# prev_images is NOT donated: fetch=False hands out views of it and a
+# donated buffer would invalidate them on the next step
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 4))
+def _pool_step(params, cfg, states, prev_images, voxels, active):
+    """Step all slots; inactive slots keep their state (masked update)."""
+    recs, new_states = cista_lstc_step(params, cfg, voxels, prev_images, states)
+    mask = active[:, None, None, None]
+    recs = jnp.where(mask, recs, prev_images)
+    new_states = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(
+            active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+        ),
+        new_states,
+        states,
+    )
+    return recs, new_states
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1, 2))
+def _reset_slot(cfg, states, prev_images, slot):
+    zero = cista_zero_state(cfg, 1, prev_images.dtype)
+    states = jax.tree_util.tree_map(
+        lambda s, z: jax.lax.dynamic_update_index_in_dim(s, z[0], slot, 0),
+        states,
+        zero,
+    )
+    prev_images = jax.lax.dynamic_update_index_in_dim(
+        prev_images, jnp.zeros_like(prev_images[0]), slot, 0
+    )
+    return states, prev_images
+
+
+class StreamPool:
+    """Fixed-capacity pool of independent reconstruction streams."""
+
+    def __init__(
+        self,
+        cfg: CistaConfig,
+        params,
+        capacity: int = 8,
+        dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.capacity = capacity
+        self.dtype = dtype
+        self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+        h, w = cfg.image_dim
+        self._states = cista_zero_state(cfg, capacity, dtype)
+        self._prev = jnp.zeros((capacity, h, w, 1), dtype)
+        self._active = np.zeros(capacity, bool)
+        self._next_id = 0
+        self._slot_of: dict[int, int] = {}
+
+    def attach(self) -> int:
+        """Claim a free slot for a new stream; returns the stream id."""
+        free = np.flatnonzero(~self._active)
+        if len(free) == 0:
+            raise RuntimeError(f"stream pool full (capacity {self.capacity})")
+        slot = int(free[0])
+        self._states, self._prev = _reset_slot(
+            self.cfg, self._states, self._prev, slot
+        )
+        self._active[slot] = True
+        sid = self._next_id
+        self._next_id += 1
+        self._slot_of[sid] = slot
+        return sid
+
+    def detach(self, stream_id: int) -> None:
+        slot = self._slot_of.pop(stream_id)
+        self._active[slot] = False
+
+    def step(
+        self, voxels_by_stream: dict[int, np.ndarray], fetch: bool = True
+    ) -> dict[int, np.ndarray]:
+        """Step the given streams with their voxel grids ``[H, W, num_bins]``;
+        returns reconstructions ``[H, W]`` per stream id. Streams not in the
+        dict idle (state preserved).
+
+        ``fetch=False`` returns device arrays without forcing a device->host
+        sync — use it when consumers stay on device (or fetch asynchronously);
+        a synchronous fetch per step costs a full round trip (dominant on
+        tunneled hosts: ~200 ms/step vs ~7 ms of compute at capacity 8)."""
+        h, w = self.cfg.image_dim
+        voxels = np.zeros((self.capacity, h, w, self.cfg.num_bins), np.float32)
+        active = np.zeros(self.capacity, bool)
+        for sid, vox in voxels_by_stream.items():
+            slot = self._slot_of[sid]
+            voxels[slot] = vox
+            active[slot] = True
+
+        recs, self._states = _pool_step(
+            self.params,
+            self.cfg,
+            self._states,
+            self._prev,
+            jnp.asarray(voxels, self.dtype),
+            jnp.asarray(active),
+        )
+        self._prev = recs
+        if not fetch:
+            return {
+                sid: recs[self._slot_of[sid], ..., 0] for sid in voxels_by_stream
+            }
+        recs_np = np.asarray(recs.astype(jnp.float32))
+        return {
+            sid: recs_np[self._slot_of[sid], ..., 0] for sid in voxels_by_stream
+        }
