@@ -275,3 +275,30 @@ def test_raw_mode_state_matches_voxel_mode_state():
         np.asarray(s_raw.base_log_frame), np.asarray(s_vox.base_log_frame), atol=1e-6
     )
     assert float(s_raw.t_previous) == float(s_vox.t_previous)
+
+
+def test_batched_emulation_row_independence():
+    """B=2: identical rows produce identical voxels; a static row produces
+    no events while the moving row is unaffected (per-batch num_iters,
+    timestamps, thresholds broadcast correctly)."""
+    h, w, n = 10, 12, 5
+    rng = np.random.default_rng(11)
+    basef = rng.uniform(40, 150, (h, w)).astype(np.float32)
+    ratef = rng.uniform(0.02, 0.3, (h, w)).astype(np.float32)
+    moving = np.clip(
+        np.stack([basef * (1 + ratef * i) for i in range(n)], 0), 0, 255
+    )
+    static = np.tile(basef, (n, 1, 1))
+    t = np.tile(np.linspace(0, 0.04, n, dtype=np.float32), (2, 1))
+    cfg = det_cfg()
+
+    # identical rows -> identical outputs
+    frames_same = np.stack([moving, moving], 0)
+    v, n_ev, _ = emulate_pack(cfg, None, jnp.asarray(frames_same), jnp.asarray(t), key=KEY)
+    np.testing.assert_allclose(np.asarray(v[0]), np.asarray(v[1]), atol=1e-6)
+
+    # moving + static rows: static contributes ~no events
+    frames_mix = np.stack([moving, static], 0)
+    v2, n_mix, _ = emulate_pack(cfg, None, jnp.asarray(frames_mix), jnp.asarray(t), key=KEY)
+    assert np.abs(np.asarray(v2[1])).max() == 0.0
+    assert int(n_mix) == int(n_ev) // 2
