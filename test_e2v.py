@@ -44,15 +44,32 @@ def build_model(cfgs):
         payload = load_checkpoint(path)
         params = payload["params"]
 
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if cfgs.precision == "bfloat16" else jnp.float32
+    params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+    return cfg, params, make_step(cfg, dtype), cista_zero_state
+
+
+def make_step(cfg, dtype):
+    """Jitted reconstruction step casting activations to ``dtype`` — conv
+    kernels follow the INPUT dtype, so bf16 params alone would silently
+    upcast back to f32 compute."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2e2v_tpu.models.cista import get_step_fn
+
     step_fn = get_step_fn(cfg)
-    dtype = "bfloat16" if cfgs.precision == "bfloat16" else "float32"
-    if dtype == "bfloat16":
-        import jax.numpy as jnp
 
-        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    def step_cast(p, ev, prev, st):
+        ev = ev.astype(dtype)
+        prev = prev.astype(dtype)
+        st = jax.tree_util.tree_map(lambda x: x.astype(dtype), st)
+        rec, st = step_fn(p, cfg, ev, prev, st)
+        return rec.astype(jnp.float32), st
 
-    step = jax.jit(lambda p, ev, prev, st: step_fn(p, cfg, ev, prev, st))
-    return cfg, params, step, cista_zero_state
+    return jax.jit(step_cast)
 
 
 class Reconstructor:
@@ -130,8 +147,9 @@ class Reconstructor:
             h, w = self.video_renderer.height, self.video_renderer.width
             if (h, w) != tuple(self.cfg.image_dim):
                 # network is resolution-agnostic only via re-jit; rebuild cfg
-                from v2e2v_tpu.models.cista import CistaConfig, get_step_fn
-                import jax
+                import jax.numpy as jnp
+
+                from v2e2v_tpu.models.cista import CistaConfig
 
                 self.cfg = CistaConfig(
                     image_dim=(h, w),
@@ -140,10 +158,10 @@ class Reconstructor:
                     num_bins=self.cfgs.num_bins,
                     model_mode=self.cfgs.model_mode,
                 )
-                step_fn = get_step_fn(self.cfg)
-                self.step = jax.jit(
-                    lambda p, ev, prev, st: step_fn(p, self.cfg, ev, prev, st)
+                dtype = (
+                    jnp.bfloat16 if self.cfgs.precision == "bfloat16" else jnp.float32
                 )
+                self.step = make_step(self.cfg, dtype)
 
             state = self.zero_state(self.cfg, 1)
             prev_image = jnp.zeros((1, h, w, 1), jnp.float32)
