@@ -182,7 +182,12 @@ class Reconstructor:
                     prev_image = pred_image
 
                 pred_np = np.asarray(pred_image[0, ..., 0], dtype=np.float32)
-                pred_u8 = normalize_image_minmax_u8(pred_np)
+                if self.cfgs.pred_norm == "percentile":  # ECD variant
+                    pred_u8 = np.uint8(
+                        np.asarray(normalize_image_percentile(pred_np)) * 255
+                    )
+                else:  # minmax — reference's active HQF variant
+                    pred_u8 = normalize_image_minmax_u8(pred_np)
                 gt_norm = np.asarray(
                     normalize_image_percentile(gt_frame.astype(np.float32))
                 )

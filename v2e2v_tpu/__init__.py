@@ -18,3 +18,21 @@ docstrings refer to that repository).
 """
 
 __version__ = "0.1.0"
+
+from .models.cista import (  # noqa: E402,F401
+    CistaConfig,
+    cista_lstc_step,
+    cista_sequence,
+    cista_tc_step,
+    cista_zero_state,
+    init_cista_lstc,
+    init_cista_tc,
+)
+from .models.emulator import (  # noqa: E402,F401
+    EmulatorConfig,
+    EmulatorState,
+    emulate_pack,
+    emulate_pack_raw,
+)
+from .models.v2e2v import V2E2VConfig, V2E2VState, v2e2v_forward  # noqa: E402,F401
+from .serving import StreamPool  # noqa: E402,F401

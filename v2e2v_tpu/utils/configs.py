@@ -96,6 +96,10 @@ def set_configs(parser: argparse.ArgumentParser) -> None:
                         help="Event budget per reconstruction")
     parser.add_argument("--test_data_mode", default="real", type=str,
                         help="Test data type: real or upsampled")
+    parser.add_argument("--pred_norm", default="minmax", type=str,
+                        help="Prediction normalization at eval: minmax (the "
+                             "reference's HQF variant) or percentile (its "
+                             "commented ECD variant)")
 
     # ---------------- output ----------------
     parser.add_argument("-o", "--output_folder", default="test_images", type=str,
