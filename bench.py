@@ -35,7 +35,7 @@ import jax.numpy as jnp
 A100_TORCH_FPS_ESTIMATE = 250.0
 
 
-def bench_e2v(batch: int, steps: int = 32, dtype=jnp.float32, chain: int = 8) -> float:
+def bench_e2v(batch: int, steps: int = 64, dtype=jnp.float32, chain: int = 6) -> float:
     from v2e2v_tpu.models.cista import (
         CistaConfig,
         cista_sequence,
