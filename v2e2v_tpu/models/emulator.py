@@ -82,6 +82,12 @@ class EmulatorConfig:
     # outputs (30 ms/pack vs 2.5 ms at full unroll — see BENCH_NOTES.md)
     unroll_pairs: int = 1
     unroll_iters: int = 32  # keep == max_iters (full unroll)
+    # iteration-loop backend: 'xla' (default) or 'pallas' (fused VMEM
+    # kernel, ops/pallas/emulator_iters.py — 1.1 ms/pair isolated, but
+    # in-scan end-to-end gains are erased by this platform's bistable
+    # compile outcomes; see BENCH_NOTES.md) or 'auto' (pallas on TPU for
+    # refractory configs when the plane fits VMEM)
+    iters_impl: str = "xla"
 
 
 class EmulatorState(NamedTuple):
@@ -273,11 +279,19 @@ def emulate_pack(
         n_iter_max = jnp.max(num_iters)
 
         n_i = cfg.max_iters
-        iters = jnp.arange(n_i, dtype=jnp.int32)  # [I]
-        # candidate events: prefix-of-iterations property (count >= i+1)
-        cand = event_counts[None] >= (iters[:, None, None, None] + 1)  # [I,B,H,W]
-        cand = cand & (iters[:, None, None, None] < n_iter_max)
 
+        use_pallas = cfg.iters_impl == "pallas" or (
+            cfg.iters_impl == "auto"
+            and cfg.refractory_period_s > 0
+            and jax.default_backend() == "tpu"
+            and h * w <= 64 * 1024
+        )
+        on_tpu = jax.default_backend() == "tpu"
+
+        # shot-noise probabilities + ONE batched draw (loop-independent,
+        # reference :161-207); the compiled pallas path generates randoms
+        # with the in-kernel hardware PRNG instead (XLA-side generation
+        # costs ~26 ms/pack on this platform — BENCH_NOTES.md)
         if cfg.shot_noise_rate_hz > 0:
             shot_factor = (
                 (cfg.shot_noise_rate_hz / 2.0)
@@ -286,8 +300,48 @@ def emulate_pack(
             )[:, None, None] * ((cfg.shot_noise_inten_factor - 1.0) * inten01 + 1.0)
             one_minus_on_prob = 1.0 - shot_factor * pos_pre
             off_prob = shot_factor * neg_pre
-            key, k_shot = jax.random.split(key)
-            rand01 = jax.random.uniform(k_shot, (n_i, b, h, w))  # one draw
+            if not (use_pallas and on_tpu):
+                key, k_shot = jax.random.split(key)
+                rand01 = jax.random.uniform(k_shot, (n_i, b, h, w))  # one draw
+            else:
+                rand01 = None
+        else:
+            one_minus_on_prob = off_prob = rand01 = None
+        if use_pallas:
+            # fused iteration loop in VMEM (ops/pallas/emulator_iters.py):
+            # ~1 ms/pair vs ~3 ms for the XLA scan on the refractory path
+            from ..ops.pallas.emulator_iters import emulator_iters_pallas
+
+            shot = cfg.shot_noise_rate_hz > 0
+            interpret = not on_tpu
+            # interpret path keeps the XLA draw for exact cross-impl tests
+            internal = shot and not interpret
+            if not shot:
+                one_minus_on_prob = off_prob = jnp.zeros((b, h, w), jnp.float32)
+            if internal or not shot:
+                rand01 = jnp.zeros((1, b, 1, 1), jnp.float32)  # unused dummy
+            if internal:
+                key, k_seed = jax.random.split(key)
+                seed = jax.random.bits(k_seed, (b,), jnp.uint32).astype(jnp.int32)
+            else:
+                seed = jnp.zeros((b,), jnp.int32)
+            voxel_add, timestamp_mem, final_evts = emulator_iters_pallas(
+                event_counts, pol, timestamp_mem, tr_frames,
+                one_minus_on_prob, off_prob, rand01, seed,
+                ts_step, num_iters, tr > ts_step, tf_base,
+                num_bins=cfg.num_bins, max_iters=n_i, shot=shot,
+                interpret=interpret, internal_rng=internal,
+            )
+            n_ev = jnp.sum(final_evts, dtype=jnp.int32)
+            base = base + pol * final_evts.astype(jnp.float32) * c
+            return (base, timestamp_mem, t_n, key), (voxel_add, n_ev)
+
+        iters = jnp.arange(n_i, dtype=jnp.int32)  # [I]
+        # candidate events: prefix-of-iterations property (count >= i+1)
+        cand = event_counts[None] >= (iters[:, None, None, None] + 1)  # [I,B,H,W]
+        cand = cand & (iters[:, None, None, None] < n_iter_max)
+
+        if cfg.shot_noise_rate_hz > 0:
             shot = jnp.where(pol[None] > 0, rand01 > one_minus_on_prob[None], False)
             shot = shot | jnp.where(pol[None] < 0, rand01 < off_prob[None], False)
             active = iters[:, None] < num_iters[None, :]  # [I,B]
