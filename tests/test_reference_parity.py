@@ -1,0 +1,520 @@
+"""Parity tests against the ACTUAL reference code at /root/reference.
+
+Round 1 pinned every component to hand-transcribed torch oracles; these tests
+import the genuine reference modules (lsying009/V2E2V) and compare them
+directly against this framework, closing the "shared transcription error"
+hole:
+
+- CistaLSTCNet / CistaTCNet forward vs cista_lstc_step / cista_tc_step over
+  multiple recurrent steps (reference ``e2v/e2v_model.py:41-90,146-197``),
+  with parameters round-tripped through ``export_torch_state_dict``.
+- EventEmulator (deterministic configs: thresholds injected, noise off) vs
+  ``emulate_pack`` including a continuation pack (``v2e/v2e_model.py:290-536``),
+  plus statistical agreement for the leak path.
+- events_to_voxel_grid / event_preprocess (``utils/event_process.py:15-177``).
+- TrainFixNEventData grouping + samples, TrainSeqData windows
+  (``data_readers/train_data_loaders.py``), and VR.update_frame_pack /
+  update_event_frame_pack (``data_readers/video_readers.py:68-181``) on a
+  shared synthetic dataset.
+
+The reference needs torchvision (not installed here) only for
+``transforms.ToTensor``; a minimal stub is injected.
+"""
+
+import os
+import subprocess
+import sys
+import types
+from argparse import Namespace
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+
+torch = pytest.importorskip("torch")
+
+
+def _install_torchvision_stub():
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    tf = types.ModuleType("torchvision.transforms")
+
+    class ToTensor:
+        def __call__(self, x):
+            t = torch.from_numpy(np.ascontiguousarray(x))
+            if t.ndim == 2:
+                return t[None]
+            if t.ndim == 3:
+                return t.permute(2, 0, 1).contiguous()
+            return t
+
+    tf.ToTensor = ToTensor
+    tv.transforms = tf
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tf
+    # reference upsampling/utils/dataset.py imports skvideo.io at module
+    # scope (VideoSequence only); stub it — nothing here decodes video
+    if "skvideo" not in sys.modules:
+        skv = types.ModuleType("skvideo")
+        skv.io = types.ModuleType("skvideo.io")
+        sys.modules["skvideo"] = skv
+        sys.modules["skvideo.io"] = skv.io
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference package (torch CPU)."""
+    _install_torchvision_stub()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import e2v.e2v_model as e2v_model
+    import v2e.v2e_model as v2e_model
+    import v2e.emulator_utils as emulator_utils
+    import utils.event_process as event_process
+    import data_readers.train_data_loaders as train_data_loaders
+    import data_readers.video_readers as video_readers
+
+    return Namespace(
+        e2v=e2v_model,
+        v2e=v2e_model,
+        emu=emulator_utils,
+        evp=event_process,
+        loaders=train_data_loaders,
+        readers=video_readers,
+    )
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("synth_ref"))
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "make_synth_data.py"),
+            "--out_dir", out, "--num_sequences", "2", "--num_frames", "30",
+            "--image_dim", "32", "40", "--num_pack_frames", "6",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return out
+
+
+def _nchw(x):
+    """NHWC jax array -> NCHW torch tensor."""
+    return torch.from_numpy(np.moveaxis(np.asarray(x), -1, 1).copy())
+
+
+def _nhwc(t):
+    """NCHW torch tensor -> NHWC numpy."""
+    return np.moveaxis(t.detach().numpy(), 1, -1)
+
+
+# ---------------------------------------------------------------------------
+# CISTA networks
+# ---------------------------------------------------------------------------
+
+def _run_cista_parity(ref, model_mode, steps=3):
+    import jax
+    import jax.numpy as jnp
+
+    from v2e2v_tpu.models.cista import (
+        CistaConfig, cista_zero_state, get_step_fn,
+        init_cista_lstc, init_cista_tc,
+    )
+    from v2e2v_tpu.utils.checkpoint import export_torch_state_dict
+
+    h, w, c, depth, nb = 16, 24, 16, 5, 5
+    cfg = CistaConfig(
+        image_dim=(h, w), base_channels=c, depth=depth, num_bins=nb,
+        model_mode=model_mode,
+    )
+    key = jax.random.PRNGKey(7)
+    if model_mode == "cista-lstc":
+        params = init_cista_lstc(key, cfg)
+        net = ref.e2v.CistaLSTCNet(
+            image_dim=(h, w), base_channels=c, depth=depth, num_bins=nb
+        )
+    else:
+        params = init_cista_tc(key, cfg)
+        net = ref.e2v.CistaTCNet(base_channels=c, depth=depth, num_bins=nb)
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_torch_state_dict(params, model_mode, depth=depth).items()
+    }
+    missing, unexpected = net.load_state_dict(sd, strict=True), None
+    net.eval()
+
+    step = get_step_fn(cfg)
+    jit_step = jax.jit(lambda p, e, i, s: step(p, cfg, e, i, s))
+
+    rng = np.random.default_rng(0)
+    state_j = cista_zero_state(cfg, 1)
+    state_t = None
+    prev_j = jnp.zeros((1, h, w, 1), jnp.float32)
+    prev_t = torch.zeros(1, 1, h, w)
+
+    for si in range(steps):
+        events = rng.normal(size=(1, h, w, nb)).astype(np.float32)
+        out_j, state_j = jit_step(params, jnp.asarray(events), prev_j, state_j)
+        with torch.no_grad():
+            out_t, state_t = net(
+                torch.from_numpy(np.moveaxis(events, -1, 1).copy()), prev_t, state_t
+            )
+        np.testing.assert_allclose(
+            np.asarray(out_j), _nhwc(out_t), atol=2e-5, rtol=1e-4,
+            err_msg=f"{model_mode} step {si}",
+        )
+        prev_j, prev_t = out_j, out_t
+
+
+def test_cista_lstc_vs_reference(ref):
+    _run_cista_parity(ref, "cista-lstc")
+
+
+def test_cista_tc_vs_reference(ref):
+    _run_cista_parity(ref, "cista-tc")
+
+
+# ---------------------------------------------------------------------------
+# Event emulator
+# ---------------------------------------------------------------------------
+
+def _make_ref_emulator(ref, cfg, frames_t, ts_t, state_j):
+    """Build the reference EventEmulator, run its _init manually, and inject
+    the JAX-sampled per-pixel thresholds so both sides share them."""
+    em = ref.v2e.EventEmulator(
+        output_mode="voxel_grid",
+        pl=cfg.pl, ps=cfg.ps, ql=cfg.ql, qs=cfg.qs,
+        num_bins=cfg.num_bins,
+        pos_thres=cfg.pos_thres, neg_thres=cfg.neg_thres,
+        sigma_thres=cfg.sigma_thres, cutoff_hz=cfg.cutoff_hz,
+        leak_rate_hz=cfg.leak_rate_hz,
+        refractory_period_s=cfg.refractory_period_s,
+        shot_noise_rate_hz=cfg.shot_noise_rate_hz,
+        device="cpu",
+    )
+    b, _, h, w = frames_t.shape
+    nb = cfg.num_bins
+    frames_log = ref.emu.lin_log(frames_t)
+    tr = torch.einsum(
+        "i,ij->ij",
+        (nb - 1) * em.refractory_period_s.reshape(1).repeat(b),
+        1.0 / (ts_t[:, -1:] - ts_t[:, 0:1]),
+    ).float()
+    tr_frames = tr.repeat(h, w, 1, 1).permute(2, 3, 0, 1)
+    em._init(frames_log[:, 0:1], tr_frames)
+    em.t_previous = ts_t[0, 0]
+    # inject this framework's sampled thresholds (RNGs can't be bit-matched)
+    pos = torch.from_numpy(np.asarray(state_j.pos_thres))[:, None]
+    neg = torch.from_numpy(np.asarray(state_j.neg_thres))[:, None]
+    em.pos_thres, em.neg_thres = pos, neg
+    em.pos_thres_pre_prob = pos / em.pos_thres_nominal
+    em.neg_thres_pre_prob = neg / em.neg_thres_nominal
+    return em
+
+
+def _emulator_case(ref, cfg, num_packs=2, seed=11):
+    import jax
+    import jax.numpy as jnp
+
+    from v2e2v_tpu.models.emulator import emulate_pack, emulator_init
+    from v2e2v_tpu.ops.numerics import lin_log
+
+    b, n, h, w = 1, 6, 12, 16
+    rng = np.random.default_rng(seed)
+    # integer-valued frames (images are uint8 in practice)
+    packs = [
+        np.round(40.0 + 170.0 * rng.random((b, n, h, w))).astype(np.float32)
+        for _ in range(num_packs)
+    ]
+    for i in range(1, num_packs):
+        packs[i][:, 0] = packs[i - 1][:, -1]  # continuity like a video
+    ts = [
+        np.broadcast_to(
+            0.03 * i + np.linspace(0.0, 0.03, n, dtype=np.float32), (b, n)
+        ).copy()
+        for i in range(num_packs)
+    ]
+
+    # JAX side: init explicitly so thresholds are known, then run packs
+    frames0 = jnp.asarray(packs[0])
+    tsj0 = jnp.asarray(ts[0])
+    window = tsj0[:, -1] - tsj0[:, 0]
+    tr = (cfg.num_bins - 1) * cfg.refractory_period_s / window
+    tr_frames = jnp.broadcast_to(tr[:, None, None], (b, h, w)).astype(jnp.float32)
+    state = emulator_init(
+        jax.random.PRNGKey(3), cfg, lin_log(frames0)[:, 0], tr_frames, tsj0[0, 0]
+    )
+    state0 = state
+
+    vox_j, nev_j = [], []
+    for frames, t in zip(packs, ts):
+        v, ne, state = emulate_pack(cfg, state, jnp.asarray(frames), jnp.asarray(t))
+        vox_j.append(np.moveaxis(np.asarray(v), -1, 1))  # -> [B, nb, H, W]
+        nev_j.append(int(ne))
+
+    # torch reference side with the same thresholds
+    em = _make_ref_emulator(
+        ref, cfg, torch.from_numpy(packs[0]), torch.from_numpy(ts[0]), state0
+    )
+    vox_t, nev_t = [], []
+    for frames, t in zip(packs, ts):
+        with torch.no_grad():
+            v, ne = em(torch.from_numpy(frames), torch.from_numpy(t))
+        vox_t.append(v.numpy())
+        nev_t.append(int(ne))
+    return vox_j, nev_j, vox_t, nev_t
+
+
+def test_emulator_deterministic_vs_reference(ref):
+    """No noise, refractory on: exact parity across two packs."""
+    from v2e2v_tpu.models.emulator import EmulatorConfig
+
+    cfg = EmulatorConfig(
+        pos_thres=0.3, neg_thres=0.3, sigma_thres=0.03,
+        leak_rate_hz=0.0, shot_noise_rate_hz=0.0, cutoff_hz=0.0,
+        refractory_period_s=0.001, num_bins=5,
+    )
+    vox_j, nev_j, vox_t, nev_t = _emulator_case(ref, cfg)
+    for i in range(len(vox_j)):
+        assert nev_j[i] == nev_t[i], f"pack {i}: {nev_j[i]} vs {nev_t[i]} events"
+        np.testing.assert_allclose(
+            vox_j[i], vox_t[i], atol=1e-4, rtol=1e-4, err_msg=f"pack {i}"
+        )
+
+
+def test_emulator_cutoff_vs_reference(ref):
+    """IIR low-pass path (cutoff_hz > 0, sensing-diversity qs lattice)."""
+    from v2e2v_tpu.models.emulator import EmulatorConfig
+
+    cfg = EmulatorConfig(
+        pos_thres=0.3, neg_thres=0.3, sigma_thres=0.03,
+        leak_rate_hz=0.0, shot_noise_rate_hz=0.0,
+        cutoff_hz=200.0, ql=1.0, qs=0.0,
+        refractory_period_s=0.001, num_bins=5,
+    )
+    vox_j, nev_j, vox_t, nev_t = _emulator_case(ref, cfg, seed=13)
+    for i in range(len(vox_j)):
+        assert nev_j[i] == nev_t[i], f"pack {i}: {nev_j[i]} vs {nev_t[i]} events"
+        np.testing.assert_allclose(
+            vox_j[i], vox_t[i], atol=1e-4, rtol=1e-4, err_msg=f"pack {i}"
+        )
+
+
+def test_emulator_leak_statistical(ref):
+    """Leak path is jittered (independent RNGs, can't be bit-matched): on a
+    STATIC scene only leak events fire — both sides must emit ON events at
+    statistically matching rates (reference ``emulator_utils.py:105-125``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2e2v_tpu.models.emulator import EmulatorConfig, emulate_pack, emulator_init
+    from v2e2v_tpu.ops.numerics import lin_log
+
+    cfg = EmulatorConfig(
+        pos_thres=0.25, neg_thres=0.25, sigma_thres=0.03,
+        shot_noise_rate_hz=0.0, cutoff_hz=0.0, leak_rate_hz=500.0,
+        refractory_period_s=0.0, num_bins=5,
+    )
+    b, n, h, w = 1, 6, 24, 32
+    frames = np.full((b, n, h, w), 128.0, np.float32)
+    ts = np.broadcast_to(np.linspace(0.0, 0.2, n, dtype=np.float32), (b, n)).copy()
+
+    fj, tj = jnp.asarray(frames), jnp.asarray(ts)
+    state = emulator_init(
+        jax.random.PRNGKey(3), cfg, lin_log(fj)[:, 0],
+        jnp.zeros((b, h, w), jnp.float32), tj[0, 0],
+    )
+    _, nev_j, _ = emulate_pack(cfg, state, fj, tj)
+    nev_j = int(nev_j)
+
+    em = _make_ref_emulator(
+        ref,
+        EmulatorConfig(**{**cfg.__dict__, "refractory_period_s": 0.001}),
+        torch.from_numpy(frames), torch.from_numpy(ts), state,
+    )
+    # neutralize refractory (only enabled above so _init builds timestamp_mem)
+    em.refractory_period_s = torch.tensor(0.0)
+    em.noise_rate_array = torch.from_numpy(np.asarray(state.noise_rate_array))[:, None]
+    with torch.no_grad():
+        _, nev_t = em(torch.from_numpy(frames), torch.from_numpy(ts))
+    nev_t = int(nev_t)
+
+    assert nev_j > 0 and nev_t > 0
+    # same log-normal leak model, different RNG draws: totals within 25%
+    assert abs(nev_j - nev_t) <= 0.25 * max(nev_j, nev_t), (nev_j, nev_t)
+
+
+# ---------------------------------------------------------------------------
+# Voxelization / normalization ops
+# ---------------------------------------------------------------------------
+
+def _random_events(rng, n, h, w, t0=0.0, t1=1.0):
+    t = np.sort(rng.uniform(t0, t1, n))
+    x = rng.integers(0, w, n)
+    y = rng.integers(0, h, n)
+    p = rng.integers(0, 2, n)  # reference uses {0, 1}
+    return np.stack([t, x, y, p], 1).astype(np.float64)
+
+
+def test_voxel_grid_vs_reference(ref):
+    from v2e2v_tpu.ops.voxel import events_to_voxel_grid_np
+
+    rng = np.random.default_rng(5)
+    h, w, nb = 18, 22, 5
+    for n in (1, 7, 500):
+        ev = _random_events(rng, n, h, w)
+        ours = events_to_voxel_grid_np(ev, nb, w, h)
+        theirs = ref.evp.events_to_voxel_grid(ev.copy(), nb, w, h)
+        np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-5)
+
+
+def test_voxel_grid_device_vs_reference_torch(ref):
+    import jax.numpy as jnp
+
+    from v2e2v_tpu.ops.voxel import events_to_voxel_grid
+
+    rng = np.random.default_rng(6)
+    h, w, nb = 16, 20, 5
+    ev = _random_events(rng, 300, h, w)
+    theirs = (
+        ref.evp.events_to_voxel_grid_pytorch(
+            torch.from_numpy(ev.astype(np.float32)), nb, w, h
+        )
+        .numpy()
+    )
+    ours = np.asarray(
+        events_to_voxel_grid(
+            jnp.asarray(ev[:, 0]), jnp.asarray(ev[:, 1]), jnp.asarray(ev[:, 2]),
+            jnp.asarray(ev[:, 3]), jnp.int32(len(ev)),
+            num_bins=nb, width=w, height=h,
+        )
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+def test_event_preprocess_vs_reference(ref):
+    from v2e2v_tpu.ops.voxel import event_preprocess_np
+
+    rng = np.random.default_rng(7)
+    vox = rng.normal(size=(5, 12, 14)).astype(np.float32) * 3.0
+    vox[rng.random(vox.shape) < 0.5] = 0.0
+    for hot in (False, True):
+        ours = event_preprocess_np(vox, mode="std", filter_hot_pixel=hot)
+        theirs = ref.evp.event_preprocess(
+            vox.copy(), mode="std", filter_hot_pixel=hot
+        )
+        np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Data layer
+# ---------------------------------------------------------------------------
+
+def _e2v_cfgs(synth_dir):
+    return Namespace(
+        path_to_train_data=synth_dir, num_bins=5, image_dim=(32, 40),
+        num_events=600, len_sequence=3, add_noise=False,
+    )
+
+
+def test_train_fixn_grouping_and_samples_vs_reference(ref, synth_dir):
+    from v2e2v_tpu.data.datasets import TrainFixNEventData
+
+    cfgs = _e2v_cfgs(synth_dir)
+    txt = os.path.join(synth_dir, "train_e2v.txt")
+    ours = TrainFixNEventData(txt, cfgs)
+    theirs = ref.loaders.TrainFixNEventData(txt, cfgs)
+
+    assert ours.sequence_line_id == theirs.sequence_line_id
+    assert len(ours) == len(theirs) > 0
+
+    for idx in range(min(2, len(ours))):
+        sj, img_j, gt_j = ours[idx]
+        st, img_t, gt_t = theirs[idx]
+        assert sj.shape[0] == len(st)
+        for k in range(len(st)):
+            np.testing.assert_allclose(
+                np.moveaxis(sj[k], -1, 0), st[k].numpy(), atol=1e-5, rtol=1e-5
+            )
+        np.testing.assert_allclose(img_j[..., 0], img_t.numpy()[0], atol=1e-6)
+        np.testing.assert_allclose(gt_j[..., 0], gt_t.numpy()[0], atol=1e-6)
+
+
+def test_train_seq_windows_vs_reference(ref, synth_dir):
+    from v2e2v_tpu.data.datasets import TrainSeqData
+
+    txt = os.path.join(synth_dir, "train_v2e2v.txt")
+    ours = TrainSeqData(txt, synth_dir, len_sequence=3, num_pack_frames=6)
+    theirs = ref.loaders.TrainSeqData(txt, synth_dir, 3, 6)
+    assert len(ours) == len(theirs) > 0
+
+    for idx in range(min(2, len(ours))):
+        ts_j, imgs_j, gt_j = ours[idx]
+        ts_t, imgs_t, gt_t = theirs[idx]
+        np.testing.assert_allclose(ts_j, np.asarray(ts_t, np.float64), atol=1e-9)
+        # reference returns per-step [N,H,W] frame tensors scaled 0-255 and
+        # per-step [1,H,W] gt tensors scaled to [0,1]
+        for m in range(ts_j.shape[0]):
+            np.testing.assert_allclose(
+                imgs_j[m], np.asarray(imgs_t[m], np.float32), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                gt_j[m][..., 0], np.asarray(gt_t[m], np.float32)[0], atol=1e-6
+            )
+
+
+def _seq_folder(synth_dir):
+    seqs = sorted(
+        d for d in os.listdir(synth_dir)
+        if os.path.isdir(os.path.join(synth_dir, d))
+    )
+    return os.path.join(synth_dir, seqs[0])
+
+
+def test_update_frame_pack_vs_reference(ref, synth_dir):
+    from v2e2v_tpu.data.video_readers import ImageReader
+
+    folder = _seq_folder(synth_dir)
+    ours = ImageReader([32, 40])
+    ours.initialize(folder)
+    theirs = ref.readers.ImageReader([32, 40])
+    theirs.initialize(folder)
+
+    for pack in range(4):
+        f_j, gt_j, t_j = ours.update_frame_pack(6)
+        f_t, gt_t, t_t = theirs.update_frame_pack(6)
+        np.testing.assert_array_equal(f_j, f_t, err_msg=f"pack {pack}")
+        np.testing.assert_array_equal(gt_j, gt_t)
+        np.testing.assert_allclose(t_j, t_t, atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["upsampled", "real"])
+def test_update_event_frame_pack_vs_reference(ref, synth_dir, mode):
+    from v2e2v_tpu.data.video_readers import ImageReader
+
+    folder = _seq_folder(synth_dir)
+    ours = ImageReader([32, 40], num_bins=5, is_with_events=True)
+    ours.initialize(folder)
+    theirs = ref.readers.ImageReader([32, 40], num_bins=5, is_with_events=True)
+    theirs.initialize(folder)
+
+    limit = 400
+    for pack in range(3):
+        if ours.ending or theirs.ending:
+            break
+        v_j, gt_j = ours.update_event_frame_pack(limit, mode)
+        v_t, gt_t = theirs.update_event_frame_pack(limit, mode)
+        assert len(v_j) == len(v_t), f"pack {pack} ({mode})"
+        for k in range(len(v_t)):
+            np.testing.assert_allclose(
+                v_j[k], v_t[k], atol=1e-5, rtol=1e-5,
+                err_msg=f"pack {pack} chunk {k} ({mode})",
+            )
+        np.testing.assert_array_equal(gt_j, gt_t)
+        assert ours.ending == theirs.ending

@@ -187,6 +187,17 @@ def emulate_pack(
     Returns ``(voxel [B, H, W, num_bins] normalized, num_events, new_state)``.
     """
     b, n, h, w = frames.shape
+    # refractory period in bin units, computed from the ORIGINAL timestamp
+    # span BEFORE any truncation (the reference computes Tr from the full
+    # [B, N+1] row on continuation packs, ``v2e_model.py:317``) and with the
+    # reference's float32 op order (scale * reciprocal, not a division) so
+    # boundary comparisons like ``tr > ts_step`` agree bit-for-bit.
+    window = (t_frames[:, -1] - t_frames[:, 0]).astype(jnp.float32)
+    tr = ((cfg.num_bins - 1) * jnp.float32(cfg.refractory_period_s)) * (
+        1.0 / window
+    )  # [B]
+    tr_frames = jnp.broadcast_to(tr[:, None, None], (b, h, w)).astype(jnp.float32)
+
     if t_frames.shape[1] not in (2, n):
         t_frames = t_frames[:, :n]
 
@@ -197,11 +208,6 @@ def emulate_pack(
 
     duration = (cfg.num_bins - 1) / (n - 1)
     time_frames = duration * jnp.arange(n, dtype=jnp.float32)
-
-    # refractory period in bin units: Tr = (nb-1) * refr_s / window_length
-    window = t_frames[:, -1] - t_frames[:, 0]
-    tr = (cfg.num_bins - 1) * cfg.refractory_period_s / window  # [B]
-    tr_frames = jnp.broadcast_to(tr[:, None, None], (b, h, w)).astype(jnp.float32)
 
     frames_rescaled = rescale_intensity_frame(frames)
     frames_log = lin_log(frames)
@@ -477,6 +483,11 @@ def _emulate_pack_dense(cfg, state, frames, t_frames, key):
     over the static ``cfg.max_iters`` so masks/timestamps can be stacked.
     """
     b, n, h, w = frames.shape
+    window = (t_frames[:, -1] - t_frames[:, 0]).astype(jnp.float32)
+    tr = ((cfg.num_bins - 1) * jnp.float32(cfg.refractory_period_s)) * (
+        1.0 / window
+    )
+    tr_frames = jnp.broadcast_to(tr[:, None, None], (b, h, w)).astype(jnp.float32)
     if t_frames.shape[1] not in (2, n):
         t_frames = t_frames[:, :n]
     if t_frames.shape[1] == 2:
@@ -486,9 +497,6 @@ def _emulate_pack_dense(cfg, state, frames, t_frames, key):
 
     duration = (cfg.num_bins - 1) / (n - 1)
     time_frames = duration * jnp.arange(n, dtype=jnp.float32)
-    window = t_frames[:, -1] - t_frames[:, 0]
-    tr = (cfg.num_bins - 1) * cfg.refractory_period_s / window
-    tr_frames = jnp.broadcast_to(tr[:, None, None], (b, h, w)).astype(jnp.float32)
 
     frames_rescaled = rescale_intensity_frame(frames)
     frames_log = lin_log(frames)
