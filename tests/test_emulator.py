@@ -120,7 +120,7 @@ def test_state_threading_no_repeat_events():
     t2 = t1 + 0.03
     _, n2, state2 = emulate_pack(cfg, state, jnp.asarray(frames2), jnp.asarray(t2))
     assert int(n2) == 0
-    assert float(state2.t_previous) > float(state.t_previous)
+    assert float(state2.t_previous[0]) > float(state.t_previous[0])
 
 
 def test_sensing_diversity_interleave():
@@ -274,7 +274,7 @@ def test_raw_mode_state_matches_voxel_mode_state():
     np.testing.assert_allclose(
         np.asarray(s_raw.base_log_frame), np.asarray(s_vox.base_log_frame), atol=1e-6
     )
-    assert float(s_raw.t_previous) == float(s_vox.t_previous)
+    assert float(s_raw.t_previous[0]) == float(s_vox.t_previous[0])
 
 
 def test_batched_emulation_row_independence():
@@ -302,3 +302,80 @@ def test_batched_emulation_row_independence():
     v2, n_mix, _ = emulate_pack(cfg, None, jnp.asarray(frames_mix), jnp.asarray(t), key=KEY)
     assert np.abs(np.asarray(v2[1])).max() == 0.0
     assert int(n_mix) == int(n_ev) // 2
+
+
+def test_per_row_timestamps_heterogeneous_batch():
+    """Batch rows with DIFFERENT wall-clock timing must behave like the same
+    rows emulated independently (the reference reads row 0's timestamps for
+    every row — a batch-1 artifact this framework fixes)."""
+    cfg = EmulatorConfig(
+        pos_thres=0.3, neg_thres=0.3, sigma_thres=0.0,
+        leak_rate_hz=20.0, shot_noise_rate_hz=0.0, refractory_period_s=0.001,
+    )
+    rng = np.random.default_rng(5)
+    b, n, h, w = 2, 5, 8, 10
+    frames = jnp.asarray(
+        np.round(40 + 170 * rng.random((b, n, h, w))).astype(np.float32)
+    )
+    # row 0: 30 ms window; row 1: 10x slower (300 ms -> 10x the leak)
+    ts = jnp.asarray(
+        np.stack([np.linspace(0, 0.03, n), np.linspace(0, 0.3, n)], 0)
+        .astype(np.float32)
+    )
+    key = jax.random.PRNGKey(3)
+    # homogeneous-batch runs share the init key (identical per-row
+    # threshold/noise draws), so each heterogeneous row must bit-match the
+    # corresponding row of the run where ITS timing is applied to the whole
+    # batch. Compare pre-normalization event maps (the voxel std-normalize
+    # couples the batch).
+    _, st_het = _counts_per_row(cfg, frames, ts, key)
+    _, st_r0 = _counts_per_row(cfg, frames, jnp.broadcast_to(ts[0], (b, n)), key)
+    _, st_r1 = _counts_per_row(cfg, frames, jnp.broadcast_to(ts[1], (b, n)), key)
+    np.testing.assert_allclose(st_het[0], st_r0[0], rtol=0, atol=0)
+    np.testing.assert_allclose(st_het[1], st_r1[1], rtol=0, atol=0)
+    # and the slow row must differ from the fast row's behavior
+    assert not np.array_equal(st_het[1], st_r0[1])
+
+
+def _counts_per_row(cfg, frames, ts, key):
+    """Per-row emitted-event maps via the dense (raw) path."""
+    from v2e2v_tpu.models.emulator import _emulate_pack_dense
+
+    _, masks, _, _, n_ev, state = _emulate_pack_dense(cfg, None, frames, ts, key)
+    # masks: [P, I, B, H, W] -> per-row totals [B, H, W]
+    per_row = np.asarray(masks).sum(axis=(0, 1))
+    return int(n_ev), per_row
+
+
+def test_stats_saturation_indicator():
+    cfg = EmulatorConfig(
+        pos_thres=0.05, neg_thres=0.05, sigma_thres=0.0,
+        leak_rate_hz=0.0, shot_noise_rate_hz=0.0, max_iters=8,
+    )
+    rng = np.random.default_rng(0)
+    frames = np.empty((1, 3, 8, 8), np.float32)
+    frames[:, 0] = 40.0
+    frames[:, 1] = 255.0  # huge jump -> way more than 8 crossings
+    frames[:, 2] = 255.0
+    ts = jnp.asarray(np.linspace(0, 0.02, 3, dtype=np.float32)[None])
+    from v2e2v_tpu.models.emulator import EmulatorStats
+
+    vox, stats, _ = emulate_pack(
+        cfg, None, jnp.asarray(frames), ts, key=jax.random.PRNGKey(0),
+        with_stats=True,
+    )
+    assert isinstance(stats, EmulatorStats)
+    assert int(stats.max_event_count) > cfg.max_iters
+    assert int(stats.clipped_pixels) > 0
+    # representative (non-pathological) data stays under the default bound
+    cfg2 = EmulatorConfig(pos_thres=0.3, neg_thres=0.3, sigma_thres=0.03)
+    rng = np.random.default_rng(1)
+    frames2 = jnp.asarray(
+        np.round(40 + 170 * rng.random((1, 5, 12, 12))).astype(np.float32)
+    )
+    ts2 = jnp.asarray(np.linspace(0, 0.03, 5, dtype=np.float32)[None])
+    _, stats2, _ = emulate_pack(
+        cfg2, None, frames2, ts2, key=jax.random.PRNGKey(1), with_stats=True
+    )
+    assert int(stats2.max_event_count) <= cfg2.max_iters
+    assert int(stats2.clipped_pixels) == 0

@@ -90,3 +90,72 @@ def test_from_flags_applies_hardcoded_noise():
     assert cfg.emulator.leak_rate_hz == 0.1
     assert cfg.emulator.shot_noise_rate_hz == 1.0
     assert cfg.cista.image_dim == (180, 240)
+
+
+def test_sequence_scan_matches_python_unroll():
+    """The lax.scan BPTT window must equal the python-unrolled composite
+    (same init key, same packs) — value parity for the compile-once path."""
+    from v2e2v_tpu.models.v2e2v import v2e2v_sequence
+
+    cfg = _cfg()
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg.cista)
+    key = jax.random.PRNGKey(7)
+
+    t_steps = 3
+    frames_seq = jnp.stack([_frames(i) for i in range(t_steps)], 0)  # [T,1,N,H,W]
+    ts_seq = jnp.stack(
+        [jnp.asarray(np.linspace(0, 0.03, N, dtype=np.float32)[None]) + 0.03 * i
+         for i in range(t_steps)],
+        0,
+    )
+
+    recs_scan, state_scan = v2e2v_sequence(params, cfg, frames_seq, ts_seq, key)
+
+    state = None
+    recs_loop = []
+    for s in range(t_steps):
+        out, state = v2e2v_forward(
+            params, cfg, frames_seq[s], ts_seq[s], state, key=key
+        )
+        recs_loop.append(out.reconstruction)
+    np.testing.assert_allclose(
+        np.asarray(recs_scan), np.asarray(jnp.stack(recs_loop, 0)), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_scan.prev_image), np.asarray(state.prev_image), atol=1e-6
+    )
+
+
+def test_sequence_scan_grad_matches_unroll():
+    from v2e2v_tpu.models.v2e2v import v2e2v_sequence
+
+    cfg = _cfg()
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg.cista)
+    key = jax.random.PRNGKey(7)
+    t_steps = 2
+    frames_seq = jnp.stack([_frames(i) for i in range(t_steps)], 0)
+    ts_seq = jnp.stack(
+        [jnp.asarray(np.linspace(0, 0.03, N, dtype=np.float32)[None]) + 0.03 * i
+         for i in range(t_steps)],
+        0,
+    )
+    gt = jnp.asarray(np.random.default_rng(0).random((1, H, W, 1), np.float32))
+
+    def loss_scan(p):
+        recs, _ = v2e2v_sequence(p, cfg, frames_seq, ts_seq, key)
+        return jnp.mean((recs[-1] - gt) ** 2)
+
+    def loss_loop(p):
+        state, out = None, None
+        for s in range(t_steps):
+            out, state = v2e2v_forward(p, cfg, frames_seq[s], ts_seq[s], state, key=key)
+        return jnp.mean((out.reconstruction - gt) ** 2)
+
+    g_scan = jax.grad(loss_scan)(params)
+    g_loop = jax.grad(loss_loop)(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        g_scan, g_loop,
+    )

@@ -101,7 +101,7 @@ class EmulatorState(NamedTuple):
     neg_thres_pre_prob: jax.Array
     noise_rate_array: jax.Array  # [B,H,W] log-normal leak rates
     timestamp_mem: jax.Array  # [B,H,W] last-spike time in bin units
-    t_previous: jax.Array  # scalar, seconds
+    t_previous: jax.Array  # [B] (or scalar) previous frame time, seconds
     key: jax.Array  # PRNG key
 
 
@@ -121,7 +121,7 @@ def emulator_init(
     """Initialize state from the first lin-log frame (reference ``_init``).
 
     frame_log: ``[B, H, W]``; tr_frames: ``[B, H, W]`` refractory period in
-    bin units; t0: scalar first timestamp (seconds).
+    bin units; t0: scalar or per-row ``[B]`` first timestamp (seconds).
     """
     b, h, w = frame_log.shape
     lattice = _lattice_mask(h, w)
@@ -160,32 +160,51 @@ def emulator_init(
         neg_thres_pre_prob=neg / cfg.neg_thres,
         noise_rate_array=noise_rate,
         timestamp_mem=-tr_frames,
-        t_previous=jnp.asarray(t0, jnp.float32),
+        t_previous=jnp.broadcast_to(jnp.asarray(t0, jnp.float32), (b,)),
         key=k_next,
     )
 
 
-def emulate_pack(
-    cfg: EmulatorConfig,
-    state: EmulatorState | None,
-    frames: jax.Array,
-    t_frames: jax.Array,
-    key: jax.Array | None = None,
-):
-    """Emulate events for one pack of consecutive frames.
+def _per_row_times(t_frames: jax.Array, n: int) -> jax.Array:
+    """Per-batch-row frame times ``[B, N]`` (float32).
 
-    Args:
-      state: previous ``EmulatorState`` or ``None`` at a sequence start
-        (reference ``reset()`` + ``_init`` on first pack).
-      frames: ``[B, N, H, W]`` intensity frames in 0-255 (N >= 2).
-      t_frames: ``[B, 2]`` (endpoints; interior linearly spaced) or ``[B, N]``
-        timestamps in seconds. If given ``[B, N+1]`` (the reference
-        continuation-pack off-by-one, ``video_readers.py:101``), the first N
-        entries are used, matching the reference pairing.
-      key: PRNG key (required when ``state is None``).
-
-    Returns ``(voxel [B, H, W, num_bins] normalized, num_events, new_state)``.
+    Deliberate improvement over the reference, which reads batch row 0's
+    timestamps for every row (``v2e_model.py:307-311``, a batch-1 artifact):
+    under data-parallel batching rows hold different sequences with different
+    wall-clock timing, so delta_time / leak / shot-noise rates are computed
+    per row here. Identical to the reference for B=1 or shared timestamps.
     """
+    if t_frames.shape[1] == 2:
+        return jax.vmap(lambda a, b: jnp.linspace(a, b, n))(
+            t_frames[:, 0], t_frames[:, -1]
+        ).astype(jnp.float32)
+    return t_frames[:, :n].astype(jnp.float32)
+
+
+def emulator_init_from_pack(
+    cfg: EmulatorConfig, frames: jax.Array, t_frames: jax.Array, key: jax.Array
+) -> EmulatorState:
+    """Build a fresh ``EmulatorState`` from a pack's FIRST frame (the
+    reference's first-pack ``_init``), for callers that ``lax.scan`` over
+    packs with a uniform non-None state: the pack-boundary rebase inside
+    ``emulate_pack`` is a no-op on a freshly initialized state, so
+    ``emulate_pack(cfg, init_from_pack(pack0), pack0, ...)`` ==
+    ``emulate_pack(cfg, None, pack0, ..., key)``.
+    """
+    b, n, h, w = frames.shape
+    window = (t_frames[:, -1] - t_frames[:, 0]).astype(jnp.float32)
+    tr = ((cfg.num_bins - 1) * jnp.float32(cfg.refractory_period_s)) * (1.0 / window)
+    tr_frames = jnp.broadcast_to(tr[:, None, None], (b, h, w)).astype(jnp.float32)
+    if t_frames.shape[1] not in (2, n):
+        t_frames = t_frames[:, :n]
+    t_float = _per_row_times(t_frames, n)
+    return emulator_init(key, cfg, lin_log(frames)[:, 0], tr_frames, t_float[:, 0])
+
+
+def _prepare_pack(cfg, state, frames, t_frames, key):
+    """Shared pack preparation (reference ``forward`` :290-345): timestamps,
+    refractory scale, lin-log transform, state init or pack-boundary rebase,
+    and IIR low-pass filtering. Returns ``(state, scan_inputs, consts)``."""
     b, n, h, w = frames.shape
     # refractory period in bin units, computed from the ORIGINAL timestamp
     # span BEFORE any truncation (the reference computes Tr from the full
@@ -199,12 +218,10 @@ def emulate_pack(
     tr_frames = jnp.broadcast_to(tr[:, None, None], (b, h, w)).astype(jnp.float32)
 
     if t_frames.shape[1] not in (2, n):
+        # reference continuation-pack off-by-one ([B, N+1],
+        # ``video_readers.py:101``): first N entries pair with the N frames
         t_frames = t_frames[:, :n]
-
-    if t_frames.shape[1] == 2:
-        t_float = jnp.linspace(t_frames[0, 0], t_frames[0, -1], n)
-    else:
-        t_float = t_frames[0].astype(jnp.float32)
+    t_float = _per_row_times(t_frames, n)  # [B, N]
 
     duration = (cfg.num_bins - 1) / (n - 1)
     time_frames = duration * jnp.arange(n, dtype=jnp.float32)
@@ -214,7 +231,7 @@ def emulate_pack(
 
     if state is None:
         assert key is not None, "key required to initialize emulator state"
-        state = emulator_init(key, cfg, frames_log[:, 0], tr_frames, t_float[0])
+        state = emulator_init(key, cfg, frames_log[:, 0], tr_frames, t_float[:, 0])
     else:
         # pack-boundary rebase of last-spike times (reference :329-330)
         mem = state.timestamp_mem
@@ -222,16 +239,25 @@ def emulate_pack(
         mem = jnp.where(mem < 0, -tr_frames, mem)
         state = state._replace(timestamp_mem=mem)
 
+    # uniform per-row [B] t_previous (states built by hand/tests may carry
+    # the scalar form; the pair scan requires a stable carry shape)
+    state = state._replace(
+        t_previous=jnp.broadcast_to(
+            jnp.asarray(state.t_previous, jnp.float32), (b,)
+        )
+    )
+
     # --- IIR temporal filtering over the pack (reference :252-275) ---------
+    dts = (t_float[:, 1:] - t_float[:, :-1]).T  # [N-1, B]
     if cfg.cutoff_hz > 0:
         def lp_body(lp, inp):
             frame_log_n, inten_n, dt = inp
             lp = low_pass_filter_step(
-                frame_log_n, lp, inten_n, dt, cfg.cutoff_hz, ql=cfg.ql, qs=cfg.qs
+                frame_log_n, lp, inten_n, dt[:, None, None], cfg.cutoff_hz,
+                ql=cfg.ql, qs=cfg.qs,
             )
             return lp, lp
 
-        dts = t_float[1:] - t_float[:-1]
         lp_final, filtered = jax.lax.scan(
             lp_body,
             state.lp_log_frame,
@@ -246,7 +272,94 @@ def emulate_pack(
     else:
         filtered = jnp.moveaxis(frames_log[:, 1:], 1, 0)  # [N-1, B, H, W]
 
-    # --- scan over frame pairs ---------------------------------------------
+    scan_inputs = (
+        filtered,
+        jnp.moveaxis(frames_rescaled[:, 1:], 1, 0),
+        t_float[:, 1:].T,  # [N-1, B]
+        time_frames[:-1],  # [N-1]
+    )
+    consts = dict(duration=duration, tr=tr, tr_frames=tr_frames, b=b, h=h, w=w)
+    return state, scan_inputs, consts
+
+
+class EmulatorStats(NamedTuple):
+    """Per-pack diagnostics (see ``emulate_pack(with_stats=True)``)."""
+
+    num_events: jax.Array  # scalar int32
+    max_event_count: jax.Array  # scalar int32, BEFORE the max_iters clip
+    clipped_pixels: jax.Array  # scalar int32: pixels whose count hit the clip
+
+
+def emulate_pack(
+    cfg: EmulatorConfig,
+    state: EmulatorState | None,
+    frames: jax.Array,
+    t_frames: jax.Array,
+    key: jax.Array | None = None,
+    with_stats: bool = False,
+):
+    """Emulate events for one pack of consecutive frames.
+
+    Args:
+      state: previous ``EmulatorState`` or ``None`` at a sequence start
+        (reference ``reset()`` + ``_init`` on first pack).
+      frames: ``[B, N, H, W]`` intensity frames in 0-255 (N >= 2).
+      t_frames: ``[B, 2]`` (endpoints; interior linearly spaced) or ``[B, N]``
+        timestamps in seconds. If given ``[B, N+1]`` (the reference
+        continuation-pack off-by-one, ``video_readers.py:101``), the first N
+        entries are used, matching the reference pairing.
+      key: PRNG key (required when ``state is None``).
+      with_stats: when True the second return value is an ``EmulatorStats``
+        (includes the pre-clip max event count, so saturation against
+        ``cfg.max_iters`` is detectable) instead of the bare event count.
+
+    Returns ``(voxel [B, H, W, num_bins] normalized, num_events | stats,
+    new_state)``.
+    """
+    state, scan_inputs, consts = _prepare_pack(cfg, state, frames, t_frames, key)
+    pair_step = _make_pair_step(cfg, state, consts, collect=False)
+
+    carry0 = (state.base_log_frame, state.timestamp_mem, state.t_previous, state.key)
+    (base, timestamp_mem, t_prev, key), (voxels, n_evs, max_cnt, clipped) = (
+        jax.lax.scan(pair_step, carry0, scan_inputs, unroll=cfg.unroll_pairs)
+    )
+
+    voxel = jnp.sum(voxels, axis=0)
+    num_events = jnp.sum(n_evs)
+
+    voxel = event_preprocess(
+        jnp.moveaxis(voxel, -1, 1), mode="std", filter_hot_pixel=False
+    )
+    voxel = jnp.moveaxis(voxel, 1, -1)  # back to [B,H,W,nb]
+
+    new_state = state._replace(
+        base_log_frame=base,
+        timestamp_mem=timestamp_mem,
+        t_previous=t_prev,
+        key=key,
+    )
+    second = (
+        EmulatorStats(num_events, jnp.max(max_cnt), jnp.sum(clipped))
+        if with_stats
+        else num_events
+    )
+    return (
+        jax.lax.stop_gradient(voxel),
+        second,
+        jax.tree_util.tree_map(jax.lax.stop_gradient, new_state),
+    )
+
+
+def _make_pair_step(cfg: EmulatorConfig, state: EmulatorState, consts, collect: bool):
+    """Build the per-frame-pair scan body (reference hot loop :362-522).
+
+    ``collect=False`` outputs ``(voxel_add, n_ev, max_cnt, clipped)`` per
+    pair; ``collect=True`` outputs dense ``(masks [I,B,H,W], ts_all [I,B],
+    pol, n_ev)`` records for raw-event extraction.
+    """
+    duration = consts["duration"]
+    tr, tr_frames = consts["tr"], consts["tr_frames"]
+    b, h, w = consts["b"], consts["h"], consts["w"]
     pos_thres, neg_thres = state.pos_thres, state.neg_thres
     pos_pre, neg_pre = state.pos_thres_pre_prob, state.neg_thres_pre_prob
     noise_rate = state.noise_rate_array
@@ -263,11 +376,11 @@ def emulate_pack(
     # the one true sequential dependency — remains a loop, touching 3 cheap
     # elementwise ops per iteration. With refractory off there is NO
     # sequential work at all.
-    def pair_step_exact(carry, inputs):
+    def pair_step(carry, inputs):
         base, timestamp_mem, t_prev, key = carry
         new_frame, inten01, t_n, tf_base = inputs
 
-        delta_time = t_n - t_prev
+        delta_time = (t_n - t_prev)[:, None, None]  # [B,1,1], per batch row
         if cfg.leak_rate_hz > 0:
             key, k_leak = jax.random.split(key)
             base = subtract_leak_current(
@@ -280,17 +393,22 @@ def emulate_pack(
         pol = jnp.sign(diff)
         c = jnp.where(pol > 0, pos_thres, 0.0) + jnp.where(pol < 0, neg_thres, 0.0)
         event_counts = jnp.floor(jnp.abs(diff) / (c + 1e-9)).astype(jnp.int32)
+        max_cnt = jnp.max(event_counts)  # pre-clip, for saturation stats
+        clipped = jnp.sum(event_counts > cfg.max_iters, dtype=jnp.int32)
         num_iters = jnp.clip(jnp.max(event_counts, axis=(1, 2)), 1, cfg.max_iters)
         ts_step = duration / num_iters.astype(jnp.float32)  # [B]
         n_iter_max = jnp.max(num_iters)
 
         n_i = cfg.max_iters
 
-        use_pallas = cfg.iters_impl == "pallas" or (
-            cfg.iters_impl == "auto"
-            and cfg.refractory_period_s > 0
-            and jax.default_backend() == "tpu"
-            and h * w <= 64 * 1024
+        use_pallas = not collect and (
+            cfg.iters_impl == "pallas"
+            or (
+                cfg.iters_impl == "auto"
+                and cfg.refractory_period_s > 0
+                and jax.default_backend() == "tpu"
+                and h * w <= 64 * 1024
+            )
         )
         on_tpu = jax.default_backend() == "tpu"
 
@@ -302,8 +420,8 @@ def emulate_pack(
             shot_factor = (
                 (cfg.shot_noise_rate_hz / 2.0)
                 * delta_time
-                / num_iters.astype(jnp.float32)
-            )[:, None, None] * ((cfg.shot_noise_inten_factor - 1.0) * inten01 + 1.0)
+                / num_iters.astype(jnp.float32)[:, None, None]
+            ) * ((cfg.shot_noise_inten_factor - 1.0) * inten01 + 1.0)
             one_minus_on_prob = 1.0 - shot_factor * pos_pre
             off_prob = shot_factor * neg_pre
             if not (use_pallas and on_tpu):
@@ -340,7 +458,7 @@ def emulate_pack(
             )
             n_ev = jnp.sum(final_evts, dtype=jnp.int32)
             base = base + pol * final_evts.astype(jnp.float32) * c
-            return (base, timestamp_mem, t_n, key), (voxel_add, n_ev)
+            return (base, timestamp_mem, t_n, key), (voxel_add, n_ev, max_cnt, clipped)
 
         iters = jnp.arange(n_i, dtype=jnp.int32)  # [I]
         # candidate events: prefix-of-iterations property (count >= i+1)
@@ -384,6 +502,13 @@ def emulate_pack(
         final_evts = jnp.sum(masks, axis=0, dtype=jnp.int32)  # [B,H,W]
         n_ev = jnp.sum(final_evts, dtype=jnp.int32)
 
+        # memorized value moves by the emitted events (reference :522)
+        base = base + pol * final_evts.astype(jnp.float32) * c
+        carry = (base, timestamp_mem, t_n, key)
+
+        if collect:
+            return carry, (masks, ts_all, pol, n_ev)
+
         # bilinear-in-time accumulation over the iteration axis. The fast
         # formulation depends on where `masks` comes from (XLA layout
         # lottery, measured on v5e): einsum is fast on scan-produced masks
@@ -400,41 +525,9 @@ def emulate_pack(
             ],
             axis=-1,
         )
+        return carry, (voxel_add, n_ev, max_cnt, clipped)
 
-        # memorized value moves by the emitted events (reference :522)
-        base = base + pol * final_evts.astype(jnp.float32) * c
-        return (base, timestamp_mem, t_n, key), (voxel_add, n_ev)
-
-    carry0 = (state.base_log_frame, state.timestamp_mem, state.t_previous, state.key)
-    inputs = (
-        filtered,
-        jnp.moveaxis(frames_rescaled[:, 1:], 1, 0),
-        t_float[1:],
-        time_frames[:-1],
-    )
-    (base, timestamp_mem, t_prev, key), (voxels, n_evs) = jax.lax.scan(
-        pair_step_exact, carry0, inputs, unroll=cfg.unroll_pairs
-    )
-
-    voxel = jnp.sum(voxels, axis=0)
-    num_events = jnp.sum(n_evs)
-
-    voxel = event_preprocess(
-        jnp.moveaxis(voxel, -1, 1), mode="std", filter_hot_pixel=False
-    )
-    voxel = jnp.moveaxis(voxel, 1, -1)  # back to [B,H,W,nb]
-
-    new_state = state._replace(
-        base_log_frame=base,
-        timestamp_mem=timestamp_mem,
-        t_previous=t_prev,
-        key=key,
-    )
-    return (
-        jax.lax.stop_gradient(voxel),
-        num_events,
-        jax.tree_util.tree_map(jax.lax.stop_gradient, new_state),
-    )
+    return pair_step
 
 
 def emulate_pack_raw(
@@ -477,136 +570,19 @@ def emulate_pack_raw(
 
 
 def _emulate_pack_dense(cfg, state, frames, t_frames, key):
-    """Shared pack emulation returning dense per-iteration event records.
+    """Pack emulation returning dense per-iteration event records.
 
-    Same math as ``emulate_pack`` but the iteration loop is a ``lax.scan``
-    over the static ``cfg.max_iters`` so masks/timestamps can be stacked.
+    Thin wrapper over the shared ``_prepare_pack`` + ``_make_pair_step``
+    (``collect=True``) — identical math to ``emulate_pack``, with stacked
+    ``(masks [P,I,B,H,W], ts [P,I,B], pol [P,B,H,W])`` outputs for raw-event
+    extraction.
     """
-    b, n, h, w = frames.shape
-    window = (t_frames[:, -1] - t_frames[:, 0]).astype(jnp.float32)
-    tr = ((cfg.num_bins - 1) * jnp.float32(cfg.refractory_period_s)) * (
-        1.0 / window
-    )
-    tr_frames = jnp.broadcast_to(tr[:, None, None], (b, h, w)).astype(jnp.float32)
-    if t_frames.shape[1] not in (2, n):
-        t_frames = t_frames[:, :n]
-    if t_frames.shape[1] == 2:
-        t_float = jnp.linspace(t_frames[0, 0], t_frames[0, -1], n)
-    else:
-        t_float = t_frames[0].astype(jnp.float32)
-
-    duration = (cfg.num_bins - 1) / (n - 1)
-    time_frames = duration * jnp.arange(n, dtype=jnp.float32)
-
-    frames_rescaled = rescale_intensity_frame(frames)
-    frames_log = lin_log(frames)
-
-    if state is None:
-        assert key is not None
-        state = emulator_init(key, cfg, frames_log[:, 0], tr_frames, t_float[0])
-    else:
-        mem = state.timestamp_mem
-        mem = jnp.where(mem > 0, mem - (cfg.num_bins - 1), mem)
-        mem = jnp.where(mem < 0, -tr_frames, mem)
-        state = state._replace(timestamp_mem=mem)
-
-    if cfg.cutoff_hz > 0:
-        def lp_body(lp, inp):
-            frame_log_n, inten_n, dt = inp
-            lp = low_pass_filter_step(
-                frame_log_n, lp, inten_n, dt, cfg.cutoff_hz, ql=cfg.ql, qs=cfg.qs
-            )
-            return lp, lp
-
-        dts = t_float[1:] - t_float[:-1]
-        lp_final, filtered = jax.lax.scan(
-            lp_body, state.lp_log_frame,
-            (jnp.moveaxis(frames_log[:, 1:], 1, 0),
-             jnp.moveaxis(frames_rescaled[:, 1:], 1, 0), dts),
-        )
-        state = state._replace(lp_log_frame=lp_final)
-    else:
-        filtered = jnp.moveaxis(frames_log[:, 1:], 1, 0)
-
-    pos_thres, neg_thres = state.pos_thres, state.neg_thres
-    pos_pre, neg_pre = state.pos_thres_pre_prob, state.neg_thres_pre_prob
-    noise_rate = state.noise_rate_array
-
-    def pair_step(carry, inputs):
-        base, timestamp_mem, t_prev, key = carry
-        new_frame, inten01, t_n, tf_base = inputs
-
-        delta_time = t_n - t_prev
-        if cfg.leak_rate_hz > 0:
-            key, k_leak = jax.random.split(key)
-            base = subtract_leak_current(
-                k_leak, base, cfg.leak_rate_hz, delta_time, pos_thres,
-                cfg.leak_jitter_fraction, noise_rate,
-            )
-
-        diff = new_frame - base
-        diff = jnp.where(jnp.abs(diff) > 1e-6, diff, 0.0)
-        pol = jnp.sign(diff)
-        c = jnp.where(pol > 0, pos_thres, 0.0) + jnp.where(pol < 0, neg_thres, 0.0)
-        event_counts = jnp.floor(jnp.abs(diff) / (c + 1e-9)).astype(jnp.int32)
-        num_iters = jnp.clip(jnp.max(event_counts, axis=(1, 2)), 1, cfg.max_iters)
-        ts_step = duration / num_iters.astype(jnp.float32)
-
-        if cfg.shot_noise_rate_hz > 0:
-            shot_factor = (
-                (cfg.shot_noise_rate_hz / 2.0) * delta_time
-                / num_iters.astype(jnp.float32)
-            )[:, None, None] * ((cfg.shot_noise_inten_factor - 1.0) * inten01 + 1.0)
-            one_minus_on_prob = 1.0 - shot_factor * pos_pre
-            off_prob = shot_factor * neg_pre
-            key, k_shot = jax.random.split(key)
-        else:
-            one_minus_on_prob = off_prob = k_shot = None
-
-        def iter_body(acc, i):
-            timestamp_mem, num_events, final_evts = acc
-            mask = event_counts >= (i + 1)
-            iter_active = (i < num_iters)[:, None, None]
-
-            if cfg.shot_noise_rate_hz > 0:
-                rand01 = jax.random.uniform(
-                    jax.random.fold_in(k_shot, i), event_counts.shape
-                )
-                shot = jnp.where(pol > 0, rand01 > one_minus_on_prob, False) | (
-                    jnp.where(pol < 0, rand01 < off_prob, False)
-                )
-                mask = mask | (shot & iter_active)
-
-            ts_i = jnp.where(i < num_iters, tf_base + ts_step * (i + 1.0), 0.0)
-            ts_map = jnp.broadcast_to(ts_i[:, None, None], mask.shape)
-
-            if cfg.refractory_period_s > 0:
-                gate = (tr > ts_step)[:, None, None]
-                mask = mask & jnp.where(
-                    gate, (ts_map - timestamp_mem) > tr_frames, True
-                )
-                timestamp_mem = jnp.where(mask & gate, ts_map, timestamp_mem)
-
-            num_events = num_events + jnp.sum(mask, dtype=jnp.int32)
-            final_evts = final_evts + mask.astype(jnp.int32)
-            return (timestamp_mem, num_events, final_evts), (mask, ts_i)
-
-        acc0 = (timestamp_mem, jnp.zeros((), jnp.int32), jnp.zeros_like(event_counts))
-        (timestamp_mem, n_ev, final_evts), (masks, ts_iters) = jax.lax.scan(
-            iter_body, acc0, jnp.arange(cfg.max_iters)
-        )
-        base = base + pol * final_evts.astype(jnp.float32) * c
-        return (base, timestamp_mem, t_n, key), (masks, ts_iters, pol, n_ev)
+    state, scan_inputs, consts = _prepare_pack(cfg, state, frames, t_frames, key)
+    pair_step = _make_pair_step(cfg, state, consts, collect=True)
 
     carry0 = (state.base_log_frame, state.timestamp_mem, state.t_previous, state.key)
-    inputs = (
-        filtered,
-        jnp.moveaxis(frames_rescaled[:, 1:], 1, 0),
-        t_float[1:],
-        time_frames[:-1],
-    )
     (base, timestamp_mem, t_prev, key), (masks, ts_iters, pols, n_evs) = jax.lax.scan(
-        pair_step, carry0, inputs
+        pair_step, carry0, scan_inputs
     )
     new_state = state._replace(
         base_log_frame=base, timestamp_mem=timestamp_mem, t_previous=t_prev, key=key

@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 
 from .cista import CistaConfig, CistaState, cista_lstc_step, cista_zero_state
-from .emulator import EmulatorConfig, EmulatorState, emulate_pack
+from .emulator import (
+    EmulatorConfig,
+    EmulatorState,
+    emulate_pack,
+    emulator_init_from_pack,
+)
 
 
 @dataclass(frozen=True)
@@ -105,3 +110,51 @@ def v2e2v_forward(
 
     new_state = V2E2VState(emulator=emu_state, cista=cista_state, prev_image=rec)
     return V2E2VOutput(rec, voxel, num_events), new_state
+
+
+def v2e2v_init_state(
+    cfg: V2E2VConfig, frames: jax.Array, t_frames: jax.Array, key: jax.Array
+) -> V2E2VState:
+    """Fresh sequence-start state built from the first pack (reference
+    ``reset_v2e`` + first-pack ``_init``); lets callers scan over packs with
+    a uniform non-None state."""
+    b, _, h, w = frames.shape
+    return V2E2VState(
+        emulator=emulator_init_from_pack(cfg.emulator, frames, t_frames, key),
+        cista=cista_zero_state(cfg.cista, b),
+        prev_image=jnp.zeros((b, h, w, 1), jnp.float32),
+    )
+
+
+def v2e2v_sequence(
+    params: dict[str, Any],
+    cfg: V2E2VConfig,
+    frames_seq: jax.Array,
+    ts_seq: jax.Array,
+    key: jax.Array | None = None,
+    state: V2E2VState | None = None,
+):
+    """Roll the composite over a BPTT window with one ``lax.scan``.
+
+    The reference rolls ``V2E2VNet`` in Python over ``len_sequence`` packs
+    (``train.py:114-127``); a python-unrolled trace costs compile time linear
+    in the window length on a platform with minutes-long compiles, so the
+    whole window lives in one scan (compile once for any ``len_sequence``).
+
+    Args:
+      frames_seq: ``[T, B, N, H, W]`` packs of HFR frames.
+      ts_seq: ``[T, B, N]`` per-pack timestamps (seconds).
+      key: PRNG key (required when ``state is None``).
+    Returns ``(reconstructions [T, B, H, W, 1], final_state)``.
+    """
+    if state is None:
+        assert key is not None, "key required to initialize V2E2V state"
+        state = v2e2v_init_state(cfg, frames_seq[0], ts_seq[0], key)
+
+    def body(st, inp):
+        frames, ts = inp
+        out, st = v2e2v_forward(params, cfg, frames, ts, st)
+        return st, out.reconstruction
+
+    state, recs = jax.lax.scan(body, state, (frames_seq, ts_seq))
+    return recs, state

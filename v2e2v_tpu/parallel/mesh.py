@@ -97,16 +97,18 @@ def make_v2e2v_train_step(
 ):
     """pjit-compiled V2E2V many-to-one training step.
 
-    The whole BPTT window — emulator packs + reconstructions — traces into
-    one jitted update (reference ``train.py:102-161`` semantics: loss on the
-    final reconstruction, output clamped). Frames/timestamps are sharded on
-    the ``data`` axis; spatial sharding is intentionally NOT applied to the
-    emulator (its per-batch reductions are cheap; convs dominate).
+    The whole BPTT window — emulator packs + reconstructions — is ONE
+    ``lax.scan`` inside one jitted update (reference ``train.py:102-161``
+    semantics: loss on the final reconstruction, output clamped), so
+    trace/compile cost is constant in ``len_sequence``. Frames/timestamps
+    are sharded on the ``data`` axis; spatial sharding is intentionally NOT
+    applied to the emulator (its per-batch reductions are cheap; convs
+    dominate).
 
     Step signature: ``(params, opt_state, frames_seq [T,B,N,H,W],
     ts_seq [T,B,N], gt [B,H,W,1], key) -> (params, opt_state, loss)``.
     """
-    from ..models.v2e2v import v2e2v_forward
+    from ..models.v2e2v import v2e2v_sequence
     from ..training.losses import many_to_one_loss
 
     rep = replicated(mesh)
@@ -115,13 +117,8 @@ def make_v2e2v_train_step(
     gt_shard = NamedSharding(mesh, P("data", None, None, None))
 
     def loss_fn(params, frames_seq, ts_seq, gt, key):
-        state = None
-        out = None
-        for s in range(frames_seq.shape[0]):  # python-unrolled BPTT window
-            out, state = v2e2v_forward(
-                params, cfg, frames_seq[s], ts_seq[s], state, key=key
-            )
-        rec = jnp.clip(out.reconstruction, clamp[0], clamp[1])
+        recs, _ = v2e2v_sequence(params, cfg, frames_seq, ts_seq, key)
+        rec = jnp.clip(recs[-1], clamp[0], clamp[1])
         return many_to_one_loss(rec, gt, lpips_fn=lpips_fn)
 
     def step(params, opt_state, frames_seq, ts_seq, gt, key):
