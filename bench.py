@@ -155,15 +155,24 @@ def bench_v2e_pack(n_frames: int = 10, hw=(180, 240), chain: int = 20) -> float:
         )[None]
     )
     ts = jnp.asarray((np.arange(n_frames, dtype=np.float32)[None]) * 0.004)
-    _, _, st = emulate_pack(cfg, None, fs, ts, key=jax.random.PRNGKey(7))
+    # rbg: the TPU-native generator the CLIs default to (--rng_impl). The
+    # noise streams are simulation noise, not crypto; threefry costs ~26 ms
+    # of the pack in XLA-side random generation (30 -> 3 ms/pack).
+    _, _, st = emulate_pack(cfg, None, fs, ts, key=jax.random.key(7, impl="rbg"))
     f = jax.jit(lambda s, a, b: emulate_pack(cfg, s, a, b))
-    v, n, st = f(st, fs, ts)
+    v, n, st0 = f(st, fs, ts)
     float(n)
-    t0 = time.perf_counter()
-    for _ in range(chain):
-        v, n, st = f(st, fs, ts)
-    float(v.sum())
-    return (time.perf_counter() - t0) / chain * 1e3
+    # best-of-3: the first timed chain after compile lands ~10x slow on this
+    # platform (late autotune/upload); steady state is what serving sees
+    best = float("inf")
+    for _ in range(3):
+        st_l = st0
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            v, n, st_l = f(st_l, fs, ts)
+        float(v.sum())
+        best = min(best, (time.perf_counter() - t0) / chain * 1e3)
+    return best
 
 
 def main():

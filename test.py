@@ -77,7 +77,7 @@ class V2E2V:
         self.cfg = V2E2VConfig.from_flags(cfgs)
         self.params = params
         self._forward = v2e2v_forward
-        self._key = jax.random.PRNGKey(cfgs.seed)
+        self._key = jax.random.key(cfgs.seed, impl=cfgs.rng_impl)
 
     def run(self):
         import jax.numpy as jnp
@@ -103,6 +103,13 @@ class V2E2V:
             num_events = 0
             image_writer = ImageWriter(self.cfgs, self.model_name, dataset_name)
             event_writer = EventWriter(self.cfgs, self.model_name, dataset_name)
+            display = None
+            if self.cfgs.display_test:
+                # headless stand-in for the reference's matplotlib preview
+                # (model_v2e2v.py:110-126): input | events | reconstruction
+                from v2e2v_tpu.utils.data_io import DebugPanelWriter
+
+                display = DebugPanelWriter(self.cfgs, self.model_name, dataset_name)
 
             for frame_idx in range(num_packs):
                 frames, _gt, timestamps = self.video_renderer.update_frame_pack(
@@ -126,6 +133,19 @@ class V2E2V:
                     make_event_preview(voxel_bins_first, mode="red-blue"), frame_idx + 1
                 )
                 num_events += int(out.num_events)
+
+                if display is not None:
+                    panels = [frames[-1]]
+                    if self.cfgs.show_events:
+                        panels.append(
+                            make_event_preview(
+                                voxel_bins_first,
+                                mode=self.cfgs.event_display_mode,
+                                num_bins_to_show=self.cfgs.num_bins_to_show,
+                            )
+                        )
+                    panels.append(pred)
+                    display(panels, frame_idx + 1)
 
             if num_packs > 0:
                 print(

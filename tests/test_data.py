@@ -203,3 +203,44 @@ def test_device_prefetch_places_on_device():
     assert len(out) == 3
     assert isinstance(out[0][0], jax.Array)
     np.testing.assert_array_equal(np.asarray(out[0][0]), 2 * np.ones((2, 3)))
+
+
+def test_opt_state_checkpoint_roundtrip(tmp_path):
+    """Adam moments survive save -> orbax restore -> restore_opt_state."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from v2e2v_tpu.utils.checkpoint import (
+        load_checkpoint,
+        restore_opt_state,
+        save_checkpoint,
+    )
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    for _ in range(3):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, {"epoch": 3, "params": params, "opt_state": opt_state})
+    payload = load_checkpoint(path)
+
+    fresh = tx.init(payload["params"])
+    restored = restore_opt_state(fresh, payload.get("opt_state"))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(opt_state), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # a further update must work on the restored (typed) state
+    updates, _ = tx.update(grads, restored, payload["params"])
+    assert jax.tree_util.tree_structure(updates) == jax.tree_util.tree_structure(
+        payload["params"]
+    )
+
+    # legacy checkpoints without opt_state fall back to the fresh template
+    assert restore_opt_state(fresh, None) is fresh

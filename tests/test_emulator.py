@@ -379,3 +379,29 @@ def test_stats_saturation_indicator():
     )
     assert int(stats2.max_event_count) <= cfg2.max_iters
     assert int(stats2.clipped_pixels) == 0
+
+
+def test_rng_impl_rbg_statistical_agreement():
+    """The TPU-native rbg generator (CLI default, --rng_impl) must drive the
+    noise paths with statistics matching threefry (10x cheaper streams)."""
+    cfg = EmulatorConfig(
+        pos_thres=0.3, neg_thres=0.3, sigma_thres=0.03,
+        leak_rate_hz=5.0, shot_noise_rate_hz=500.0, refractory_period_s=0.001,
+    )
+    rng = np.random.default_rng(9)
+    b, n, h, w = 1, 6, 24, 32
+    frames = jnp.asarray(
+        np.round(40 + 170 * rng.random((b, n, h, w))).astype(np.float32)
+    )
+    ts = jnp.asarray(np.linspace(0, 0.1, n, dtype=np.float32)[None])
+
+    counts = {}
+    for impl in ("threefry2x32", "rbg", "unsafe_rbg"):
+        key = jax.random.key(0, impl=impl)
+        _, ne, state = emulate_pack(cfg, None, frames, ts, key=key)
+        _, ne2, _ = emulate_pack(cfg, state, frames + 1.0, ts + 0.1)
+        counts[impl] = int(ne) + int(ne2)
+    base = counts["threefry2x32"]
+    assert base > 0
+    for impl in ("rbg", "unsafe_rbg"):
+        assert abs(counts[impl] - base) <= 0.15 * base, counts

@@ -90,3 +90,98 @@ def test_training_ssim_bounded_on_near_constant_images():
         gt = jnp.asarray(rng.uniform(0, 1, (1, 64, 80, 1)).astype(np.float32))
         v = float(ssim_train(rec, gt))
         assert -1.0 <= v <= 1.0 + 1e-5
+
+
+def test_lpips_architecture_vs_torch_transcription():
+    """Pin the LPIPS-VGG architecture against an in-test torch transcription
+    of richzhang/PerceptualSimilarity's forward (the contract behind the
+    reference ``utils/evaluate.py:45-63``): VGG16 features tapped at
+    relu{1_2,2_2,3_3,4_3,5_3}, channel-unit-normalize, squared diff, nonneg
+    1x1 lin heads, spatial mean, sum over layers — with SHARED random weights
+    (the published weight blobs are unobtainable offline; correctness of the
+    computation must not depend on them)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from v2e2v_tpu.training import lpips_jax
+
+    blocks = lpips_jax._VGG_BLOCKS
+    rng = np.random.default_rng(0)
+
+    convs_np = []
+    in_ch = 3
+    for out_ch, n_convs in blocks:
+        for _ in range(n_convs):
+            w = rng.normal(
+                0, 1.0 / np.sqrt(9 * in_ch), (out_ch, in_ch, 3, 3)
+            ).astype(np.float32)
+            b = rng.normal(0, 0.05, (out_ch,)).astype(np.float32)
+            convs_np.append((w, b))
+            in_ch = out_ch
+    lins_np = [
+        rng.random(c).astype(np.float32) * 0.1 for c, _ in blocks
+    ]
+
+    params = {
+        "convs": [
+            {"weight": np.transpose(w, (2, 3, 1, 0)), "bias": b}
+            for w, b in convs_np
+        ],
+        "lins": lins_np,
+    }
+
+    def torch_lpips(pred_gray, target_gray):
+        shift = torch.from_numpy(lpips_jax._SHIFT).view(1, 3, 1, 1)
+        scale = torch.from_numpy(lpips_jax._SCALE).view(1, 3, 1, 1)
+
+        def feats(x):
+            x = x.repeat(1, 3, 1, 1) * 2 - 1  # gray replicate + [0,1]->[-1,1]
+            x = (x - shift) / scale
+            out = []
+            ci = 0
+            for bi, (_, n_convs) in enumerate(blocks):
+                for _ in range(n_convs):
+                    w, b = convs_np[ci]
+                    ci += 1
+                    x = F.relu(
+                        F.conv2d(x, torch.from_numpy(w), torch.from_numpy(b),
+                                 padding=1)
+                    )
+                out.append(x)
+                if bi < len(blocks) - 1:
+                    x = F.max_pool2d(x, 2)
+            return out
+
+        fa, fb = feats(pred_gray), feats(target_gray)
+        total = 0.0
+        for a, b, lin in zip(fa, fb, lins_np):
+            na = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            d = (na - nb) ** 2
+            layer = (d * torch.from_numpy(lin).view(1, -1, 1, 1)).sum(1)
+            total = total + layer.mean(dim=(1, 2))
+        return float(total.mean())
+
+    pred = rng.random((2, 64, 64, 1)).astype(np.float32)
+    target = rng.random((2, 64, 64, 1)).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    ours = float(
+        lpips_jax.lpips_distance(
+            params, jnp.asarray(pred), jnp.asarray(target), normalize=True
+        )
+    )
+    with torch.no_grad():
+        theirs = torch_lpips(
+            torch.from_numpy(np.moveaxis(pred, -1, 1).copy()),
+            torch.from_numpy(np.moveaxis(target, -1, 1).copy()),
+        )
+    assert ours == pytest.approx(theirs, abs=2e-5), (ours, theirs)
+    # sanity: identical inputs -> 0
+    zero = float(
+        lpips_jax.lpips_distance(
+            params, jnp.asarray(pred), jnp.asarray(pred), normalize=True
+        )
+    )
+    assert zero == pytest.approx(0.0, abs=1e-6)

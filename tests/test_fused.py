@@ -1,0 +1,113 @@
+"""Exactness of the fused full-resolution conv rewrites (ops/fused.py)
+against the reference-faithful two-stage / upsample / conv paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from v2e2v_tpu.models.cista import CistaConfig, init_cista_lstc
+from v2e2v_tpu.ops.conv import conv_layer, upsample_conv_layer
+from v2e2v_tpu.ops.fused import (
+    depth_to_space,
+    final_conv_parity,
+    heads_fused,
+    space_to_depth,
+    upsample_conv_parity,
+)
+
+
+def _heads_ref(params, events, prev_image):
+    x_e = conv_layer(events, params["We"], padding=1)
+    x_i = conv_layer(prev_image, params["Wi"], padding=1)
+    x1 = jnp.concatenate([x_e, x_i], axis=-1)
+    return conv_layer(x1, params["W0"], stride=2, padding=1)
+
+
+def test_s2d_roundtrip():
+    x = jnp.asarray(np.random.default_rng(0).random((2, 8, 12, 3), np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(x))), np.asarray(x)
+    )
+
+
+@pytest.mark.parametrize("hw", [(12, 16), (20, 28), (90, 120)])
+def test_heads_fused_exact(hw):
+    h, w = hw
+    cfg = CistaConfig(image_dim=(h, w), base_channels=16, depth=2, num_bins=5)
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    ev = jnp.asarray(rng.normal(size=(2, h, w, 5)).astype(np.float32))
+    pi = jnp.asarray(rng.random((2, h, w, 1)).astype(np.float32))
+
+    ref = _heads_ref(params, ev, pi)
+    got = heads_fused(params, ev, pi)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("hw", [(6, 8), (10, 14), (45, 60)])
+@pytest.mark.parametrize("activation", [None, "relu"])
+def test_upsample_conv_parity_exact(hw, activation):
+    h, w = hw
+    c = 16
+    key = jax.random.PRNGKey(2)
+    from v2e2v_tpu.ops.conv import conv_init
+
+    params = conv_init(key, c, c, 3)
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, h, w, c)).astype(np.float32)
+    )
+
+    ref = upsample_conv_layer(x, params, activation=activation, out_hw=(2 * h, 2 * w))
+    got = depth_to_space(upsample_conv_parity(params, x, activation=activation))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("hw", [(6, 8), (12, 20), (90, 120)])
+def test_final_conv_parity_exact(hw):
+    h, w = hw
+    c = 16
+    from v2e2v_tpu.ops.conv import conv_init
+
+    params = conv_init(jax.random.PRNGKey(4), c, 1, 3)
+    full = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 2 * h, 2 * w, c)).astype(np.float32)
+    )
+
+    ref = conv_layer(full, params, padding=1)
+    got = final_conv_parity(params, space_to_depth(full))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_fused_decoder_chain_grads_match():
+    """upsample+final consumed in the parity domain: values AND grads match
+    the reference-faithful chain (the fused path is used in training)."""
+    from v2e2v_tpu.ops.conv import conv_init
+
+    h, w, c = 10, 12, 8
+    k1, k2 = jax.random.split(jax.random.PRNGKey(6))
+    p_up = conv_init(k1, c, c, 3)
+    p_fin = conv_init(k2, c, 1, 3)
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(1, h, w, c)).astype(np.float32)
+    )
+
+    def ref_chain(p_up, p_fin, x):
+        y = upsample_conv_layer(x, p_up, activation="relu", out_hw=(2 * h, 2 * w))
+        y = conv_layer(y, p_fin, padding=1)
+        return jnp.sum(jax.nn.sigmoid(y) ** 2)
+
+    def fused_chain(p_up, p_fin, x):
+        y = upsample_conv_parity(p_up, x, activation="relu")
+        y = final_conv_parity(p_fin, y)
+        return jnp.sum(jax.nn.sigmoid(y) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(ref_chain, argnums=(0, 1))(p_up, p_fin, x)
+    v_fus, g_fus = jax.value_and_grad(fused_chain, argnums=(0, 1))(p_up, p_fin, x)
+    assert float(v_ref) == pytest.approx(float(v_fus), rel=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+        ),
+        g_ref, g_fus,
+    )

@@ -50,3 +50,83 @@ def test_data_parallel_matches_single_device():
 
     assert results[1][0] == pytest.approx(results[8][0], rel=1e-5)
     np.testing.assert_allclose(results[1][1], results[8][1], atol=1e-6)
+
+
+@pytest.mark.parametrize("w", [16, 24, 40])
+def test_spatial_sharding_matches_single_device(w):
+    """A (2, 2) data x spatial mesh must reproduce the single-device loss,
+    updated params, AND gradients to fp32 tolerance — spatial sharding of W
+    makes XLA insert halo exchanges for the reflect-padded 3x3 convs, which
+    is exactly where silent wrongness would live. Widths chosen so per-shard
+    half-res width is even (16 -> 4), odd (24 -> 6... 3 at quarter? no: 24/2
+    = 12 half-res, 6/shard), and non-power-of-two (40 -> 20 half-res,
+    10/shard)."""
+    import optax
+
+    from v2e2v_tpu.models.cista import CistaConfig, init_cista_lstc
+    from v2e2v_tpu.parallel.mesh import make_e2v_train_step, make_mesh
+
+    cfg = CistaConfig(image_dim=(16, w), base_channels=8, depth=2, num_bins=5)
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    tx = optax.adam(1e-3)
+
+    key = jax.random.PRNGKey(2)
+    voxel_seq = jax.random.normal(key, (3, 2, 16, w, 5))
+    gt = jax.random.uniform(jax.random.fold_in(key, 1), (2, 16, w, 1))
+
+    results = {}
+    for n_data, n_spatial in ((1, 1), (2, 2)):
+        mesh = make_mesh(n_data, n_spatial, devices=jax.devices()[: n_data * n_spatial])
+        step = make_e2v_train_step(cfg, tx, mesh)
+        p, o, loss = step(
+            jax.tree_util.tree_map(lambda x: x.copy(), params),
+            tx.init(params), voxel_seq, gt,
+        )
+        results[(n_data, n_spatial)] = (float(loss), p)
+
+    loss_1, p_1 = results[(1, 1)]
+    loss_s, p_s = results[(2, 2)]
+    assert loss_1 == pytest.approx(loss_s, rel=1e-5)
+    # every parameter leaf (i.e. every gradient) must match
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5
+        ),
+        p_1, p_s,
+    )
+
+
+def test_spatial_sharding_grads_match(w=24):
+    """Direct gradient comparison (pre-optimizer) on the spatial mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from v2e2v_tpu.models.cista import CistaConfig, cista_sequence, init_cista_lstc
+    from v2e2v_tpu.parallel.mesh import make_mesh, replicated
+
+    cfg = CistaConfig(image_dim=(16, w), base_channels=8, depth=2, num_bins=5)
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(3)
+    voxel_seq = jax.random.normal(key, (2, 2, 16, w, 5))
+    gt = jax.random.uniform(jax.random.fold_in(key, 1), (2, 16, w, 1))
+
+    def loss_fn(p, seq, gt):
+        recs, _ = cista_sequence(p, cfg, seq)
+        return ((recs[-1] - gt) ** 2).mean()
+
+    g_single = jax.grad(loss_fn)(params, voxel_seq, gt)
+
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    shard = NamedSharding(mesh, P(None, "data", None, "spatial", None))
+    gt_shard = NamedSharding(mesh, P("data", None, "spatial", None))
+    g_fn = jax.jit(
+        jax.grad(loss_fn),
+        in_shardings=(replicated(mesh), shard, gt_shard),
+        out_shardings=replicated(mesh),
+    )
+    g_sharded = g_fn(params, voxel_seq, gt)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5
+        ),
+        g_single, g_sharded,
+    )

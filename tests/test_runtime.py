@@ -1,5 +1,7 @@
 """Native C++ runtime vs the numpy oracles."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -72,3 +74,29 @@ def test_voxelize_empty():
     got = runtime.voxelize_events(np.zeros((0, 4)), num_bins=5, width=8, height=6)
     assert got.shape == (5, 6, 8)
     assert (got == 0).all()
+
+
+def test_parse_txt_page_boundary_no_trailing_newline(tmp_path):
+    """A numeric token ending exactly at a page boundary with no trailing
+    newline must parse (strtod on the raw mmap could read past the end)."""
+    from v2e2v_tpu import runtime
+
+    if not runtime.available():
+        pytest.skip("native runtime unavailable")
+
+    pagesize = os.sysconf("SC_PAGE_SIZE")
+    row = "0.125 10 20 1\n"
+    # build content whose size is exactly one page, last char numeric
+    tail = "0.500 30 40 "
+    n_rows = (pagesize - len(tail) - 1) // len(row)
+    content = row * n_rows + tail
+    content += "1" * (pagesize - len(content))  # final token runs to the edge
+    assert len(content) == pagesize and content[-1].isdigit()
+
+    path = tmp_path / "edge.txt"
+    path.write_text(content)
+    assert os.path.getsize(path) == pagesize
+
+    events = runtime.parse_events_txt(str(path))
+    assert events.shape == (n_rows + 1, 4)
+    assert events[-1, 0] == 0.5 and events[-1, 1] == 30

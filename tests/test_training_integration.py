@@ -71,3 +71,59 @@ def test_e2v_training_reduces_loss(synth_dir, tmp_path):
     # high floor at this tiny scale; ~9% in 6 epochs on CPU)
     assert losses[-1] < losses[0] - 0.05, losses
     assert all(b < a + 0.01 for a, b in zip(losses, losses[1:])), losses
+
+
+def test_v2e2v_cli_display_flags(synth_dir, tmp_path):
+    """train.py --display_train and test.py --display_test must produce
+    composite debug panels (headless stand-ins for the reference's
+    matplotlib/cv2 displays, model_v2e2v.py:110-126)."""
+    import glob
+    import subprocess
+
+    env = dict(os.environ, V2E2V_PLATFORM="cpu")
+    model_dir = str(tmp_path / "models")
+    out_dir = str(tmp_path / "out")
+
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "train.py"),
+            "--path_to_train_data", synth_dir,
+            "--path_to_model", model_dir,
+            "--image_dim", "32", "40", "--num_pack_frames", "5",
+            "--len_sequence", "3", "--epochs", "1",
+            "--base_channels", "8", "--depth", "2",
+            "--display_train", "--output_folder", out_dir,
+        ],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    panels = glob.glob(os.path.join(out_dir, "**", "display", "panel_*.png"),
+                       recursive=True)
+    assert panels, "train.py --display_train wrote no debug panels"
+
+    ckpts = glob.glob(os.path.join(model_dir, "*", "*_1"))
+    assert ckpts, "no checkpoint written"
+    seq = sorted(
+        d for d in os.listdir(synth_dir)
+        if os.path.isdir(os.path.join(synth_dir, d))
+    )[0]
+
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "test.py"),
+            "--path_to_test_data", synth_dir,
+            "--path_to_test_model", ckpts[0],
+            "--image_dim", "32", "40", "--num_pack_frames", "5",
+            "--base_channels", "8", "--depth", "2",
+            "--reader_type", "image_reader", "--test_data_name", seq,
+            "--test_img_num", "15",
+            "--display_test", "--output_folder", str(tmp_path / "out_test"),
+        ],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    panels = glob.glob(
+        os.path.join(str(tmp_path / "out_test"), "**", "display", "panel_*.png"),
+        recursive=True,
+    )
+    assert panels, "test.py --display_test wrote no debug panels"

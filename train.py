@@ -55,14 +55,15 @@ class Train:
             "refractory_period_s": cfgs.refractory_period_s,
         }
 
+        resume_payload = None
         if cfgs.load_epoch_for_train:
-            payload = load_checkpoint(
+            resume_payload = load_checkpoint(
                 os.path.join(
                     self.path_to_model,
                     f"{self.model_name}_{cfgs.load_epoch_for_train}",
                 )
             )
-            self.params = payload["params"]
+            self.params = resume_payload["params"]
         elif cfgs.path_to_e2v:
             if cfgs.path_to_e2v.endswith((".pth.tar", ".pth", ".pt")):
                 self.params, _, _ = load_torch_checkpoint(cfgs.path_to_e2v, "cista-lstc")
@@ -85,7 +86,15 @@ class Train:
             learning_rate=self.lr_for_epoch(cfgs.load_epoch_for_train)
         )
         self.opt_state = self.tx.init(self.params)
+        if resume_payload is not None:
+            from v2e2v_tpu.utils.checkpoint import restore_opt_state
+
+            self.opt_state = restore_opt_state(
+                self.opt_state, resume_payload.get("opt_state")
+            )
         self._save_checkpoint = save_checkpoint
+        # TPU-friendly RNG for the emulator's noise streams (see --rng_impl)
+        self._noise_key = jax.random.key(cfgs.seed, impl=cfgs.rng_impl)
 
         lpips_fn = make_lpips_fn()
         if lpips_fn is None:
@@ -93,11 +102,27 @@ class Train:
 
         from v2e2v_tpu.parallel.mesh import make_mesh, make_v2e2v_train_step
 
-        n_data = cfgs.mesh_data if cfgs.mesh_data > 0 else None
+        # data-axis size must divide the batch; default to gcd(batch, devices)
+        import math as _math
+
+        n_data = (
+            cfgs.mesh_data
+            if cfgs.mesh_data > 0
+            else _math.gcd(cfgs.batch_size, len(jax.devices()))
+        )
         self.mesh = make_mesh(n_data, 1)
         self.train_step = make_v2e2v_train_step(
-            self.cfg, self.tx, self.mesh, lpips_fn=lpips_fn
+            self.cfg, self.tx, self.mesh, lpips_fn=lpips_fn,
+            monitor=cfgs.display_train,
         )
+        # --display_train: headless stand-in for the reference's matplotlib
+        # previews (model_v2e2v.py:110-126 / train.py:140-152) — composite
+        # PNG panels every 50 batches
+        self.display = None
+        if cfgs.display_train:
+            from v2e2v_tpu.utils.data_io import DebugPanelWriter
+
+            self.display = DebugPanelWriter(cfgs, self.model_name, "train")
 
     def run(self):
         import jax
@@ -123,14 +148,35 @@ class Train:
                 )
             ):
                 seq_ts, seq_images, seq_gt = batch  # [B,T,N], [B,T,N,H,W], [B,T,H,W,1]
+                if seq_images.shape[0] % self.mesh.shape["data"]:
+                    continue  # tail batch not shardable across the data axis
                 frames_seq = np.moveaxis(seq_images, 1, 0)  # [T,B,N,H,W]
                 ts_seq = np.moveaxis(seq_ts, 1, 0).astype(np.float32)
                 gt = seq_gt[:, -1]  # loss on the final reconstruction
 
-                key = jax.random.fold_in(jax.random.PRNGKey(cfgs.seed), step_idx)
-                self.params, self.opt_state, loss = self.train_step(
-                    self.params, self.opt_state, frames_seq, ts_seq, gt, key
-                )
+                key = jax.random.fold_in(self._noise_key, step_idx)
+                if self.display is None:
+                    self.params, self.opt_state, loss = self.train_step(
+                        self.params, self.opt_state, frames_seq, ts_seq, gt, key
+                    )
+                else:
+                    self.params, self.opt_state, loss, aux = self.train_step(
+                        self.params, self.opt_state, frames_seq, ts_seq, gt, key
+                    )
+                    if n_batches % 50 == 0:
+                        from v2e2v_tpu.utils.data_io import make_event_preview
+
+                        panels = [frames_seq[-1, 0, -1]]  # last input frame
+                        if cfgs.show_events:
+                            panels.append(
+                                make_event_preview(
+                                    np.moveaxis(np.asarray(aux["voxel"][0]), -1, 0),
+                                    mode=cfgs.event_display_mode,
+                                    num_bins_to_show=cfgs.num_bins_to_show,
+                                )
+                            )
+                        panels += [np.asarray(aux["rec"][0]), gt[0]]
+                        self.display(panels, step_idx)
                 loss = float(loss)
                 epoch_loss_sum += loss
                 if n_batches % 50 == 0:
@@ -152,6 +198,7 @@ class Train:
                 {
                     "epoch": epoch + 1,
                     "params": self.params,
+                    "opt_state": self.opt_state,
                     "v2e_params": self.v2e_params,
                 },
             )

@@ -55,14 +55,15 @@ class Train:
         init_fn = init_cista_lstc if cfgs.model_mode == "cista-lstc" else init_cista_tc
         self.params = init_fn(jax.random.PRNGKey(cfgs.seed), self.cfg)
 
+        resume_payload = None
         if cfgs.load_epoch_for_train:
-            payload = load_checkpoint(
+            resume_payload = load_checkpoint(
                 os.path.join(
                     self.path_to_model,
                     f"{self.model_name}_{cfgs.load_epoch_for_train}",
                 )
             )
-            self.params = payload["params"]
+            self.params = resume_payload["params"]
 
         self.train_data = TrainFixNEventData(
             os.path.join(cfgs.path_to_train_data, "train_e2v.txt"), cfgs
@@ -76,8 +77,25 @@ class Train:
             learning_rate=self.lr_for_epoch(cfgs.load_epoch_for_train)
         )
         self.opt_state = self.tx.init(self.params)
+        if resume_payload is not None:
+            # true resume: Adam moments survive (the reference resets them,
+            # a torch artifact; SURVEY §5 plans {epoch, params, opt_state})
+            from v2e2v_tpu.utils.checkpoint import restore_opt_state
 
-        n_data = cfgs.mesh_data if cfgs.mesh_data > 0 else None
+            self.opt_state = restore_opt_state(
+                self.opt_state, resume_payload.get("opt_state")
+            )
+
+        # data-axis size must divide the batch; default to gcd(batch, devices)
+        import math as _math
+
+        n_data = (
+            cfgs.mesh_data
+            if cfgs.mesh_data > 0
+            else _math.gcd(
+                cfgs.batch_size, len(jax.devices()) // max(cfgs.mesh_spatial, 1)
+            )
+        )
         self.mesh = make_mesh(n_data, cfgs.mesh_spatial)
         self.lpips_fn = make_lpips_fn()
         if self.lpips_fn is None:
@@ -107,6 +125,14 @@ class Train:
             seq_events, _img, gt = batch  # [B,T,H,W,nb], ..., [B,H,W,1]
             return np.moveaxis(seq_events, 1, 0), gt  # [T,B,H,W,nb]
 
+        n_data = self.mesh.shape["data"]
+
+        def shardable(it):
+            # drop tail batches the data axis can't divide (n_data > 1 only)
+            for batch in it:
+                if batch[0].shape[0] % n_data == 0:
+                    yield batch
+
         step_idx = 0
         for epoch in range(cfgs.load_epoch_for_train, cfgs.epochs):
             lr = float(self.lr_for_epoch(epoch))
@@ -117,10 +143,10 @@ class Train:
             epoch_loss_sum = 0.0
             # background host pipeline + one-step-early device placement
             for voxel_seq, gt in device_prefetch(
-                iterate_batches(
+                shardable(iterate_batches(
                     self.train_data, cfgs.batch_size, cfgs.shuffle,
                     seed=cfgs.seed + epoch,
-                ),
+                )),
                 transform=to_device_layout,
                 sharding=(seq_shard, gt_shard),
             ):
@@ -146,7 +172,11 @@ class Train:
             logger.scalar("epoch_mean_loss", mean_loss, epoch)
             self._save_checkpoint(
                 os.path.join(self.path_to_model, f"{self.model_name}_{epoch + 1}"),
-                {"epoch": epoch, "params": self.params},
+                {
+                    "epoch": epoch,
+                    "params": self.params,
+                    "opt_state": self.opt_state,
+                },
             )
         logger.close()
 

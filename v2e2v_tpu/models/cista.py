@@ -62,6 +62,10 @@ class CistaConfig:
     # ~1.4x the XLA path (56 TFLOP/s) but costs minutes of Mosaic compile on
     # this platform — opt in for long-running serving, not for CI/bench
     ista_impl: str = "xla"
+    # full-resolution conv strategy: 'fused' (default — exact algebraic
+    # rewrites in the half-res/parity domain, ops/fused.py; ~5 TFLOP/s ->
+    # MXU-friendly) or 'ref' (reference-shaped two-stage convs)
+    fullres_impl: str = "fused"
 
 
 class CistaState(NamedTuple):
@@ -148,21 +152,55 @@ def init_cista_tc(key: jax.Array, cfg: CistaConfig) -> Params:
 # forward steps
 # ---------------------------------------------------------------------------
 
-def _heads(params: Params, events: jax.Array, prev_image: jax.Array) -> jax.Array:
-    """Event/image heads + concat + stride-2 downsample (``e2v_model.py:62-66``)."""
+def _heads(
+    params: Params, cfg: CistaConfig, events: jax.Array, prev_image: jax.Array
+) -> jax.Array:
+    """Event/image heads + concat + stride-2 downsample (``e2v_model.py:62-66``).
+
+    The 'fused' path composes the three LINEAR convs into one 5x5 stride-2
+    conv (exact; ``ops/fused.py``) — the full-res 64-channel intermediate
+    never exists and the MXU sees one decently-shaped contraction.
+    """
+    if cfg.fullres_impl == "fused":
+        from ..ops.fused import heads_fused
+
+        return heads_fused(params, events, prev_image)
     x_e = conv_layer(events, params["We"], padding=1)
     x_i = conv_layer(prev_image, params["Wi"], padding=1)
     x1 = jnp.concatenate([x_e, x_i], axis=-1)
     return conv_layer(x1, params["W0"], stride=2, padding=1)
 
 
-def _decode(params: Params, z: jax.Array, dg_state, out_hw) -> tuple[jax.Array, tuple]:
+def _upsample_final(
+    params: Params,
+    cfg: CistaConfig,
+    rec: jax.Array,
+    upsamp_activation: str | None,
+) -> jax.Array:
+    """Bilinear-upsample conv -> final conv (both exact in the parity domain
+    on the 'fused' path: the full-res 64-channel map never hits HBM)."""
+    if cfg.fullres_impl == "fused":
+        from ..ops.fused import final_conv_parity, upsample_conv_parity
+
+        rec = upsample_conv_parity(
+            params["upsamp_conv"], rec, activation=upsamp_activation
+        )
+        return final_conv_parity(params["final_conv"], rec)
+    rec = upsample_conv_layer(
+        rec, params["upsamp_conv"], activation=upsamp_activation,
+        out_hw=cfg.image_dim,
+    )
+    return conv_layer(rec, params["final_conv"], padding=1)
+
+
+def _decode(
+    params: Params, cfg: CistaConfig, z: jax.Array, dg_state
+) -> tuple[jax.Array, tuple]:
     """Decoder: RecurrentConvLayer (conv+relu -> ConvLSTM) -> bilinear-upsample
     conv (relu) -> final conv -> sigmoid (``e2v_model.py:82-88``)."""
     x = conv_layer(z, params["Dg"]["conv"], padding=1, activation="relu")
     rec, dg_state = conv_lstm_step(params["Dg"]["lstm"], x, dg_state)
-    rec = upsample_conv_layer(rec, params["upsamp_conv"], activation="relu", out_hw=out_hw)
-    rec = conv_layer(rec, params["final_conv"], padding=1)
+    rec = _upsample_final(params, cfg, rec, upsamp_activation="relu")
     return jax.nn.sigmoid(rec), dg_state
 
 
@@ -181,7 +219,7 @@ def cista_lstc_step(
       state: ``CistaState`` from the previous step (zeros at sequence start).
     Returns ``(rec_image [B,H,W,1], new_state)``.
     """
-    x1 = _heads(params, events, prev_image)
+    x1 = _heads(params, cfg, events, prev_image)
 
     # ConvLSTC consumes the previous step's sparse code and its own cell
     # (reference passes prev_states[-2] == z, prev_states[0] == cell, :68)
@@ -208,7 +246,7 @@ def cista_lstc_step(
             z = softshrink(x, lam)
             tmp = z
 
-    rec, dg_state = _decode(params, z, state.dg, out_hw=cfg.image_dim)
+    rec, dg_state = _decode(params, cfg, z, state.dg)
     return rec, CistaState(cell=cell, z=z, dg=dg_state)
 
 
@@ -227,7 +265,7 @@ def cista_tc_step(
     pytree). The reference's TC decoder upsample conv has NO activation
     (``e2v_model.py:127``), unlike LSTC's relu.
     """
-    x1 = _heads(params, events, prev_image)
+    x1 = _heads(params, cfg, events, prev_image)
     z = conv_layer(x1, params["P0"], padding=1)
     tmp = z
     prev_z = state.z
@@ -249,8 +287,7 @@ def cista_tc_step(
 
     x = conv_layer(z, params["Dg"]["conv"], padding=1, activation="relu")
     rec, dg_state = conv_lstm_step(params["Dg"]["lstm"], x, state.dg)
-    rec = upsample_conv_layer(rec, params["upsamp_conv"], activation=None, out_hw=cfg.image_dim)
-    rec = conv_layer(rec, params["final_conv"], padding=1)
+    rec = _upsample_final(params, cfg, rec, upsamp_activation=None)
     rec = jax.nn.sigmoid(rec)
     return rec, CistaState(cell=state.cell, z=z, dg=dg_state)
 

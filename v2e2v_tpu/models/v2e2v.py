@@ -133,6 +133,7 @@ def v2e2v_sequence(
     ts_seq: jax.Array,
     key: jax.Array | None = None,
     state: V2E2VState | None = None,
+    with_monitor: bool = False,
 ):
     """Roll the composite over a BPTT window with one ``lax.scan``.
 
@@ -145,7 +146,11 @@ def v2e2v_sequence(
       frames_seq: ``[T, B, N, H, W]`` packs of HFR frames.
       ts_seq: ``[T, B, N]`` per-pack timestamps (seconds).
       key: PRNG key (required when ``state is None``).
-    Returns ``(reconstructions [T, B, H, W, 1], final_state)``.
+      with_monitor: also stack the per-pack voxel grids / event counts
+        (the reference's ``event_voxel_grids`` / ``num_events`` monitoring
+        fields) — costs ``[T, B, H, W, nb]`` of memory, debug only.
+    Returns ``(recs [T, B, H, W, 1], final_state)``; with monitoring,
+    ``(recs, final_state, (voxels [T,B,H,W,nb], num_events [T]))``.
     """
     if state is None:
         assert key is not None, "key required to initialize V2E2V state"
@@ -154,7 +159,12 @@ def v2e2v_sequence(
     def body(st, inp):
         frames, ts = inp
         out, st = v2e2v_forward(params, cfg, frames, ts, st)
+        if with_monitor:
+            return st, (out.reconstruction, out.event_voxel_grids, out.num_events)
         return st, out.reconstruction
 
-    state, recs = jax.lax.scan(body, state, (frames_seq, ts_seq))
-    return recs, state
+    state, ys = jax.lax.scan(body, state, (frames_seq, ts_seq))
+    if with_monitor:
+        recs, voxels, nevs = ys
+        return recs, state, (voxels, nevs)
+    return ys, state

@@ -94,6 +94,7 @@ def make_v2e2v_train_step(
     mesh: Mesh,
     lpips_fn=None,
     clamp: tuple[float, float] = (1e-7, 1.0 - 1e-7),
+    monitor: bool = False,
 ):
     """pjit-compiled V2E2V many-to-one training step.
 
@@ -106,7 +107,9 @@ def make_v2e2v_train_step(
     dominate).
 
     Step signature: ``(params, opt_state, frames_seq [T,B,N,H,W],
-    ts_seq [T,B,N], gt [B,H,W,1], key) -> (params, opt_state, loss)``.
+    ts_seq [T,B,N], gt [B,H,W,1], key) -> (params, opt_state, loss)``;
+    with ``monitor=True`` an extra dict ``{rec, voxel, num_events}`` (last
+    pack, host-gathered) is appended — feeds the ``--display_train`` panels.
     """
     from ..models.v2e2v import v2e2v_sequence
     from ..training.losses import many_to_one_loss
@@ -117,19 +120,35 @@ def make_v2e2v_train_step(
     gt_shard = NamedSharding(mesh, P("data", None, None, None))
 
     def loss_fn(params, frames_seq, ts_seq, gt, key):
-        recs, _ = v2e2v_sequence(params, cfg, frames_seq, ts_seq, key)
+        if monitor:
+            recs, _, (voxels, nevs) = v2e2v_sequence(
+                params, cfg, frames_seq, ts_seq, key, with_monitor=True
+            )
+        else:
+            recs, _ = v2e2v_sequence(params, cfg, frames_seq, ts_seq, key)
         rec = jnp.clip(recs[-1], clamp[0], clamp[1])
-        return many_to_one_loss(rec, gt, lpips_fn=lpips_fn)
+        loss = many_to_one_loss(rec, gt, lpips_fn=lpips_fn)
+        aux = (
+            {"rec": rec, "voxel": voxels[-1], "num_events": nevs[-1]}
+            if monitor
+            else None
+        )
+        return loss, aux
 
     def step(params, opt_state, frames_seq, ts_seq, gt, key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, frames_seq, ts_seq, gt, key)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, frames_seq, ts_seq, gt, key
+        )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if monitor:
+            return params, opt_state, loss, aux
         return params, opt_state, loss
 
+    out_shardings = (rep, rep, rep, rep) if monitor else (rep, rep, rep)
     return jax.jit(
         step,
         in_shardings=(rep, rep, frames_shard, ts_shard, gt_shard, rep),
-        out_shardings=(rep, rep, rep),
+        out_shardings=out_shardings,
         donate_argnums=(0, 1),
     )

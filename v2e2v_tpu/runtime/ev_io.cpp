@@ -31,6 +31,20 @@ inline const char* skip_ws(const char* p, const char* end) {
 }
 
 inline const char* parse_double(const char* p, const char* end, double* out) {
+    // strtod assumes a NUL-terminated string; near the end of an mmap'd
+    // buffer it could read past the mapping (SIGSEGV when a numeric token
+    // ends exactly at a page boundary with no trailing newline) — bounce
+    // the tail through a NUL-terminated stack copy.
+    if (end - p < 64) {
+        char tmp[65];
+        size_t len = static_cast<size_t>(end - p);
+        memcpy(tmp, p, len);
+        tmp[len] = '\0';
+        char* q = nullptr;
+        *out = strtod(tmp, &q);
+        if (q == tmp) return nullptr;
+        return p + (q - tmp);
+    }
     char* q = nullptr;
     *out = strtod(p, &q);
     if (q == p || q > end) return nullptr;

@@ -37,6 +37,25 @@ def load_checkpoint(path: str) -> dict[str, Any]:
     return ckptr.restore(os.path.abspath(path))
 
 
+def restore_opt_state(template, payload_opt_state):
+    """Rebuild a typed optax state from an orbax-restored pytree.
+
+    Orbax restores NamedTuple-structured states as plain containers; graft
+    the restored leaves back onto a freshly ``tx.init``-ed template so the
+    optimizer sees its own types. Returns the template unchanged when the
+    checkpoint predates opt-state saving (``payload_opt_state is None``).
+    """
+    if payload_opt_state is None:
+        return template
+    leaves = jax.tree_util.tree_leaves(payload_opt_state)
+    treedef = jax.tree_util.tree_structure(template)
+    assert treedef.num_leaves == len(leaves), (
+        f"opt_state leaf count mismatch: ckpt {len(leaves)} vs "
+        f"template {treedef.num_leaves}"
+    )
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def checkpoint_name(cfgs) -> str:
     """E2V checkpoint naming convention (reference ``train_e2v.py:35-36``)."""
     return "{}_{}_b{}_d{}_c{}".format(

@@ -127,3 +127,47 @@ class ErrorMapWriter(Writer):
             bbox_inches="tight",
         )
         plt.close()
+
+
+class DebugPanelWriter(Writer):
+    """Headless replacement for the reference's interactive displays
+    (``model_v2e2v.py:110-126`` matplotlib figures, ``v2e_model.py:278-287``
+    cv2 windows): composes the panels side by side (each min-max normalized
+    to uint8) and writes ``display/panel_%010d.png``. Wired to the
+    ``--display_train`` / ``--display_test`` / ``--show_events`` flags."""
+
+    def __init__(self, cfgs, model_name, dataset_name=None):
+        super().__init__(cfgs, model_name, dataset_name)
+        self.panel_folder = os.path.join(self.output_data_folder, "display")
+        os.makedirs(self.panel_folder, exist_ok=True)
+
+    @staticmethod
+    def _to_u8(img: np.ndarray) -> np.ndarray:
+        img = np.asarray(img)
+        img = np.squeeze(img)
+        if img.dtype == np.uint8:
+            u8 = img
+        else:
+            img = img.astype(np.float64)
+            lo, hi = float(img.min()), float(img.max())
+            u8 = np.uint8(np.round(255.0 * (img - lo) / (hi - lo + 1e-12)))
+        if u8.ndim == 2:
+            u8 = np.stack([u8] * 3, axis=-1)
+        return u8
+
+    def __call__(self, panels, idx: int) -> str:
+        """panels: list of 2D/3D arrays (float any range, or uint8)."""
+        imgs = [self._to_u8(p) for p in panels]
+        h = max(im.shape[0] for im in imgs)
+        sep = np.full((h, 2, 3), 255, np.uint8)
+        row = []
+        for i, im in enumerate(imgs):
+            if im.shape[0] < h:  # pad bottom
+                im = np.pad(im, ((0, h - im.shape[0]), (0, 0), (0, 0)))
+            row.append(im)
+            if i < len(imgs) - 1:
+                row.append(sep)
+        panel = np.concatenate(row, axis=1)
+        path = os.path.join(self.panel_folder, f"panel_{idx:010d}.png")
+        Image.fromarray(panel).save(path)
+        return path
