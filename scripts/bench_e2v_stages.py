@@ -6,7 +6,7 @@ Times the full step and truncated variants (heads-only, +LSTC, +ISTA,
 per-frame milliseconds go. Each variant returns a scalar so the tunnel's
 lazy dispatch is forced (block_until_ready does not block here).
 
-Usage: python scripts/bench_e2v_stages.py [batch] [dtype]
+Usage: python scripts/bench_e2v_stages.py [batch] [dtype] [fullres_impl]
 """
 
 from __future__ import annotations
@@ -19,22 +19,24 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 
-from v2e2v_tpu.models.cista import CistaConfig, cista_zero_state, init_cista_lstc
+from v2e2v_tpu.models.cista import (
+    CistaConfig,
+    _heads,
+    _upsample_final,
+    cista_zero_state,
+    init_cista_lstc,
+)
 from v2e2v_tpu.ops.conv import (
     conv_layer,
     conv_lstc_step,
     conv_lstm_step,
-    upsample_conv_layer,
 )
 from v2e2v_tpu.ops.numerics import softshrink
 
 
 def build(cfg, stage: str):
     def step(params, events, prev_image, state):
-        x_e = conv_layer(events, params["We"], padding=1)
-        x_i = conv_layer(prev_image, params["Wi"], padding=1)
-        x1 = jnp.concatenate([x_e, x_i], axis=-1)
-        x1 = conv_layer(x1, params["W0"], stride=2, padding=1)
+        x1 = _heads(params, cfg, events, prev_image)
         if stage == "heads":
             return x1.astype(jnp.float32).sum(), state
 
@@ -62,14 +64,7 @@ def build(cfg, stage: str):
                 cell=cell, z=z, dg=dg_state
             )
 
-        rec = upsample_conv_layer(
-            rec, params["upsamp_conv"], activation="relu", out_hw=cfg.image_dim
-        )
-        if stage == "upsamp":
-            return rec.astype(jnp.float32).sum(), state._replace(
-                cell=cell, z=z, dg=dg_state
-            )
-        rec = conv_layer(rec, params["final_conv"], padding=1)
+        rec = _upsample_final(params, cfg, rec, upsamp_activation="relu")
         rec = jax.nn.sigmoid(rec)
         return rec.astype(jnp.float32).sum(), state._replace(
             cell=cell, z=z, dg=dg_state
@@ -111,11 +106,15 @@ def time_stage(cfg, params, batch, dtype, stage, steps=64, chain=4):
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     dtype = jnp.bfloat16 if (len(sys.argv) < 3 or sys.argv[2] == "bf16") else jnp.float32
-    cfg = CistaConfig(image_dim=(180, 240), base_channels=64, depth=5, num_bins=5)
+    fullres = sys.argv[3] if len(sys.argv) > 3 else "fused"
+    cfg = CistaConfig(
+        image_dim=(180, 240), base_channels=64, depth=5, num_bins=5,
+        fullres_impl=fullres,
+    )
     params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
 
     prev = 0.0
-    for stage in ("heads", "lstc", "ista", "dg", "upsamp", "full"):
+    for stage in ("heads", "lstc", "ista", "dg", "full"):
         ms = time_stage(cfg, params, batch, dtype, stage)
         print(
             f"{stage:>7}: {ms:7.3f} ms/step (+{ms - prev:6.3f})  "
