@@ -26,13 +26,23 @@ from PIL import Image
 
 
 def render_video(rng, num_frames: int, h: int, w: int) -> np.ndarray:
-    """Textured background + moving boxes; returns [N, H, W] float 0-255."""
+    """Drifting multi-wave texture + moving boxes; returns [N, H, W] 0-255.
+
+    The background is a sum of sinusoidal plane waves whose phases advance
+    every frame (sub-pixel drift), so — like natural video — nearly every
+    pixel sees intensity change and emits events, not just object edges.
+    """
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    bg = (
-        110
-        + 60 * np.sin(2 * math.pi * xx / rng.uniform(40, 120))
-        + 50 * np.sin(2 * math.pi * yy / rng.uniform(30, 100))
-    )
+    ii = np.arange(num_frames, dtype=np.float32)[:, None, None]
+    bg = np.full((num_frames, h, w), 120.0, dtype=np.float32)
+    for _ in range(int(rng.integers(3, 6))):
+        wavelength = rng.uniform(15, 120)
+        theta = rng.uniform(0, 2 * math.pi)
+        kx = 2 * math.pi * math.cos(theta) / wavelength
+        ky = 2 * math.pi * math.sin(theta) / wavelength
+        amp = rng.uniform(10, 35)
+        drift = rng.uniform(-0.35, 0.35)  # radians/frame: sub-pixel motion
+        bg += amp * np.sin(kx * xx + ky * yy + rng.uniform(0, 2 * math.pi) + drift * ii)
     n_obj = rng.integers(2, 6)
     objs = []
     for _ in range(n_obj):
@@ -46,7 +56,7 @@ def render_video(rng, num_frames: int, h: int, w: int) -> np.ndarray:
         )
     frames = []
     for i in range(num_frames):
-        img = bg.copy()
+        img = bg[i].copy()
         for o in objs:
             cx = (o["cx"] + o["vx"] * i) % w
             cy = (o["cy"] + o["vy"] * i) % h
@@ -71,16 +81,22 @@ def ideal_dvs_events(frames: np.ndarray, timestamps: np.ndarray, c: float = 0.25
         dl = log_frames[i] - mem
         count = np.floor(np.abs(dl) / c).astype(np.int64)
         ys, xs = np.nonzero(count)
-        evs = []
-        for y, x in zip(ys, xs):
-            k = count[y, x]
-            pol = 1.0 if dl[y, x] > 0 else 0.0
-            ts = t0 + (t1 - t0) * (np.arange(1, k + 1) * c) / abs(dl[y, x])
-            for t in ts:
-                evs.append((t, x, y, pol))
-            mem[y, x] += np.sign(dl[y, x]) * k * c
-        evs = np.asarray(evs, dtype=np.float64).reshape(-1, 4)
+        k_counts = count[ys, xs]
+        # Expand each firing pixel into its k=1..count events, vectorized.
+        idx = np.repeat(np.arange(len(ys)), k_counts)
+        kk = (
+            np.arange(int(k_counts.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(k_counts) - k_counts, k_counts)
+            + 1
+        )
+        dl_r = dl[ys, xs][idx]
+        ts = t0 + (t1 - t0) * (kk * c) / np.abs(dl_r)
+        evs = np.stack(
+            [ts, xs[idx].astype(np.float64), ys[idx].astype(np.float64),
+             (dl_r > 0).astype(np.float64)], axis=1,
+        )
         evs = evs[np.argsort(evs[:, 0], kind="stable")]
+        mem[ys, xs] += np.sign(dl[ys, xs]) * k_counts * c
         windows.append(evs)
     return windows
 

@@ -173,3 +173,54 @@ def test_conv_init_shapes_and_bounds():
     bound = 1.0 / np.sqrt(8 * 9)
     assert np.abs(np.asarray(p["weight"])).max() <= bound
     assert np.abs(np.asarray(p["bias"])).max() <= bound
+
+
+class TestReflectFastPath:
+    """The pad-copy-free 3x3 reflect conv (``_reflect1_conv3x3``) must be
+    EXACT vs the pad-op path: zero padding folded into the conv HLO plus one
+    grouped strip conv for the border ring (see ops/conv.py)."""
+
+    def _compare(self, h, w, cin=16, cout=8, seed=0):
+        from v2e2v_tpu.ops import conv as conv_mod
+
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+        params = {
+            "weight": jnp.asarray(
+                rng.normal(size=(3, 3, cin, cout)).astype(np.float32)
+            ),
+            "bias": jnp.asarray(rng.normal(size=(cout,)).astype(np.float32)),
+        }
+        assert conv_mod.REFLECT_FAST_PATH  # default ON
+        y_fast = conv2d(x, params, padding=1)
+        g_fast = jax.grad(lambda v: (conv2d(v, params, padding=1) ** 2).sum())(x)
+        try:
+            conv_mod.REFLECT_FAST_PATH = False
+            y_ref = conv2d(x, params, padding=1)
+            g_ref = jax.grad(lambda v: (conv2d(v, params, padding=1) ** 2).sum())(x)
+        finally:
+            conv_mod.REFLECT_FAST_PATH = True
+        np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref), atol=2e-5)
+        scale = max(1.0, float(jnp.max(jnp.abs(g_ref))))
+        np.testing.assert_allclose(
+            np.asarray(g_fast) / scale, np.asarray(g_ref) / scale, atol=2e-5
+        )
+
+    def test_even_dims(self):
+        self._compare(18, 24)
+
+    def test_odd_dims(self):
+        self._compare(17, 21)
+
+    def test_tall_narrow(self):
+        self._compare(32, 16)
+
+    def test_vs_torch_oracle(self):
+        # independent oracle at a fast-path-eligible size
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(1, 20, 18, 3)).astype(np.float32)
+        conv, params = _rand_torch_conv(3, 5, 3, seed=7)
+        got = np.asarray(conv2d(jnp.asarray(x), params, padding=1))
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        want = conv(F.pad(xt, (1, 1, 1, 1), mode="reflect")).detach().numpy()
+        np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 1)), atol=2e-5)

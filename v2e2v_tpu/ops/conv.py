@@ -51,6 +51,83 @@ def conv_init(key: jax.Array, in_ch: int, out_ch: int, k: int, bias: bool = True
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
+# Route 3x3/stride-1/reflect-pad-1 convs through the pad-copy-free fast path
+# (exact; see _reflect1_conv3x3). Module-level switch for A/B benchmarking.
+REFLECT_FAST_PATH = True
+
+
+def _reflect1_conv3x3(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Exact ``conv_valid(reflect_pad1(x), w)`` without the pad copy.
+
+    ``jnp.pad(mode='reflect')`` lowers to concat-of-reversed-slices — a full
+    HBM round-trip per conv input (measured ~16% of the CISTA step,
+    ``scripts/bench_pad_experiment.py``). Zero padding, by contrast, folds
+    into the conv HLO's padding config (no copy). Since conv is linear and
+    ``reflect_pad1(x) = zero_pad1(x) + B`` with ``B`` supported on the padded
+    ring, the reflect result is the zero-padded conv plus thin strip
+    corrections touching only the outermost output ring:
+
+    - ring rows:   ``B[-1, :] = reflectW(x[1, :])``, ``B[h, :] = reflectW(x[h-2, :])``
+      -> 1x3 convs with kernel rows ``w[0]`` / ``w[2]`` over single rows;
+    - ring cols (interior rows only, corners belong to the rows above):
+      ``B[0:h, -1] = x[:, 1]``, ``B[0:h, w] = x[:, w-2]``
+      -> zero-padded 3x1 convs with kernel cols ``w[:, 0]`` / ``w[:, 2]``.
+    """
+    b, h, w_in, c = x.shape
+    cout = w.shape[3]
+    wk = w.astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, wk, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=_DN, preferred_element_type=jnp.float32,
+    )
+
+    # --- all four strip corrections in ONE grouped 1x3 conv ---------------
+    # Strips are laid out along a common axis of length L = max(H, W) + 2
+    # (rows keep their reflect-extended width; columns transpose H onto that
+    # axis with zero ends, since the corners already belong to the rows).
+    L = max(h, w_in)
+
+    def to_len(s: jax.Array) -> jax.Array:  # [B,1,l,C] -> [B,1,L+2,C]
+        return jnp.pad(s, ((0, 0), (0, 0), (0, L + 2 - s.shape[2]), (0, 0)))
+
+    top_in = jnp.concatenate([x[:, 1:2, 1:2], x[:, 1:2], x[:, 1:2, -2:-1]], axis=2)
+    bot_in = jnp.concatenate([x[:, -2:-1, 1:2], x[:, -2:-1], x[:, -2:-1, -2:-1]], axis=2)
+    left_in = jnp.pad(
+        jnp.transpose(x[:, :, 1:2], (0, 2, 1, 3)), ((0, 0), (0, 0), (1, 1), (0, 0))
+    )
+    right_in = jnp.pad(
+        jnp.transpose(x[:, :, -2:-1], (0, 2, 1, 3)), ((0, 0), (0, 0), (1, 1), (0, 0))
+    )
+    strips = jnp.concatenate(
+        [to_len(top_in), to_len(bot_in), to_len(left_in), to_len(right_in)], axis=-1
+    )  # [B, 1, L+2, 4C]
+    # group kernels: rows use kernel rows w[0]/w[2]; transposed columns use
+    # kernel columns w[:,0]/w[:,2] laid along the strip axis
+    wg = jnp.concatenate(
+        [wk[0:1], wk[2:3], jnp.transpose(wk[:, 0:1], (1, 0, 2, 3)),
+         jnp.transpose(wk[:, 2:3], (1, 0, 2, 3))], axis=3,
+    )  # [1, 3, C, 4*Cout]
+    corr = jax.lax.conv_general_dilated(
+        strips, wg, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=_DN, feature_group_count=4,
+        preferred_element_type=jnp.float32,
+    )  # [B, 1, L, 4*Cout]
+
+    # --- fold the strips back via broadcast-selects (these fuse into the
+    # consumer elementwise pass; DUS serialized and pad-to-full materialized
+    # full arrays — both measured slower than the reflect pad itself) ------
+    top = corr[:, :, :w_in, :cout]                      # [B, 1, W, Cout]
+    bot = corr[:, :, :w_in, cout : 2 * cout]
+    left = jnp.transpose(corr[:, :, :h, 2 * cout : 3 * cout], (0, 2, 1, 3))
+    right = jnp.transpose(corr[:, :, :h, 3 * cout :], (0, 2, 1, 3))  # [B, H, 1, Cout]
+
+    ri = jnp.arange(h)[:, None, None]
+    ci = jnp.arange(w_in)[:, None]
+    zero = jnp.zeros((), y.dtype)
+    y = y + jnp.where(ri == 0, top, zero) + jnp.where(ri == h - 1, bot, zero)
+    y = y + jnp.where(ci == 0, left, zero) + jnp.where(ci == w_in - 1, right, zero)
+    return y
+
 
 def conv2d(
     x: jax.Array,
@@ -62,6 +139,21 @@ def conv2d(
     """Conv2d with explicit (default reflect) padding, matching torch
     ``nn.Conv2d(..., padding_mode='reflect')`` (``base_layers.py:140``)."""
     w = params["weight"]
+    if (
+        REFLECT_FAST_PATH
+        and pad_mode == "reflect"
+        and padding == 1
+        and stride == 1
+        and w.shape[0] == w.shape[1] == 3
+        # only worthwhile when the pad copy is expensive; on thin strips
+        # (the fused-op border helpers) the strip machinery is pure overhead
+        and x.shape[1] >= 16
+        and x.shape[2] >= 16
+    ):
+        y = _reflect1_conv3x3(x, w)
+        if "bias" in params:
+            y = y + params["bias"].astype(y.dtype)
+        return y.astype(x.dtype)
     if padding > 0:
         x = jnp.pad(
             x,
