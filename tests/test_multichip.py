@@ -130,3 +130,44 @@ def test_spatial_sharding_grads_match(w=24):
         ),
         g_single, g_sharded,
     )
+
+
+def test_spatial_sharding_matches_with_reflect_fast_path():
+    """Same equality at a resolution where the pad-copy-free reflect conv
+    (ops/conv.py REFLECT_FAST_PATH, active at >=16x16) is engaged: its
+    border corrections use global-iota `where` masks and strip slices that
+    must keep GLOBAL semantics under GSPMD spatial partitioning."""
+    import optax
+
+    from v2e2v_tpu.models.cista import CistaConfig, init_cista_lstc
+    from v2e2v_tpu.ops import conv as conv_mod
+    from v2e2v_tpu.parallel.mesh import make_e2v_train_step, make_mesh
+
+    assert conv_mod.REFLECT_FAST_PATH
+    cfg = CistaConfig(image_dim=(64, 80), base_channels=8, depth=2, num_bins=5)
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    tx = optax.adam(1e-3)
+
+    key = jax.random.PRNGKey(4)
+    voxel_seq = jax.random.normal(key, (2, 2, 64, 80, 5))
+    gt = jax.random.uniform(jax.random.fold_in(key, 1), (2, 64, 80, 1))
+
+    results = {}
+    for n_data, n_spatial in ((1, 1), (2, 4)):
+        mesh = make_mesh(n_data, n_spatial, devices=jax.devices()[: n_data * n_spatial])
+        step = make_e2v_train_step(cfg, tx, mesh)
+        p, o, loss = step(
+            jax.tree_util.tree_map(lambda x: x.copy(), params),
+            tx.init(params), voxel_seq, gt,
+        )
+        results[(n_data, n_spatial)] = (float(loss), p)
+
+    loss_1, p_1 = results[(1, 1)]
+    loss_s, p_s = results[(2, 4)]
+    assert loss_1 == pytest.approx(loss_s, rel=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5
+        ),
+        p_1, p_s,
+    )

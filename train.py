@@ -77,6 +77,7 @@ class Train:
             cfgs.path_to_train_data,
             cfgs.len_sequence,
             cfgs.num_pack_frames,
+            drop_seq_tails=getattr(cfgs, "drop_seq_tails", False),
         )
         print(f"training sequences: {len(self.train_data)}")
 

@@ -50,6 +50,12 @@ class TrainFixNEventData:
                 self.next_image_paths.append(parts[5])
                 self.event_paths.append(parts[6])
         self._split_sequences(video_cnt, num_events_list)
+        if getattr(cfgs, "drop_seq_tails", False):
+            # uniform [T, ...] shapes: one XLA compile instead of one per
+            # distinct tail length (--drop_seq_tails)
+            self.sequence_line_id = [
+                s for s in self.sequence_line_id if len(s) == self.len_sequence
+            ]
         self._noise_rng = np.random.default_rng(getattr(cfgs, "seed", 0))
 
     def _split_sequences(self, video_cnt, num_events_list):
@@ -134,10 +140,18 @@ class TrainFixNEventData:
 class TrainSeqData:
     """V2E2V training samples: sequences of HFR frame packs."""
 
-    def __init__(self, train_data_txt, path_to_train_data, len_sequence, num_pack_frames):
+    def __init__(
+        self,
+        train_data_txt,
+        path_to_train_data,
+        len_sequence,
+        num_pack_frames,
+        drop_seq_tails: bool = False,
+    ):
         self.path_to_train_data = path_to_train_data
         self.len_sequence = len_sequence
         self.num_pack_frames = num_pack_frames
+        self.drop_seq_tails = drop_seq_tails
 
         self.timestamps: list[float] = []
         self.image_paths: list[str] = []
@@ -172,7 +186,7 @@ class TrainSeqData:
                 if idx + self.len_sequence <= len(lines):
                     self.start_seq_id.append(lines[idx])
                     self.len_seq.append(self.len_sequence)
-                elif len(lines) - idx >= 3:
+                elif len(lines) - idx >= 3 and not self.drop_seq_tails:
                     self.start_seq_id.append(lines[idx])
                     self.len_seq.append(len(lines) - idx)
 

@@ -134,6 +134,7 @@ def v2e2v_sequence(
     key: jax.Array | None = None,
     state: V2E2VState | None = None,
     with_monitor: bool = False,
+    remat: bool = False,
 ):
     """Roll the composite over a BPTT window with one ``lax.scan``.
 
@@ -149,6 +150,9 @@ def v2e2v_sequence(
       with_monitor: also stack the per-pack voxel grids / event counts
         (the reference's ``event_voxel_grids`` / ``num_events`` monitoring
         fields) — costs ``[T, B, H, W, nb]`` of memory, debug only.
+      remat: rematerialize each pack step on the backward pass (see
+        ``cista_sequence``) — keeps BPTT memory O(T x carry) instead of
+        O(T x all emulator/conv activations).
     Returns ``(recs [T, B, H, W, 1], final_state)``; with monitoring,
     ``(recs, final_state, (voxels [T,B,H,W,nb], num_events [T]))``.
     """
@@ -156,9 +160,13 @@ def v2e2v_sequence(
         assert key is not None, "key required to initialize V2E2V state"
         state = v2e2v_init_state(cfg, frames_seq[0], ts_seq[0], key)
 
+    fwd = lambda p, frames, ts, st: v2e2v_forward(p, cfg, frames, ts, st)  # noqa: E731
+    if remat:
+        fwd = jax.checkpoint(fwd)
+
     def body(st, inp):
         frames, ts = inp
-        out, st = v2e2v_forward(params, cfg, frames, ts, st)
+        out, st = fwd(params, frames, ts, st)
         if with_monitor:
             return st, (out.reconstruction, out.event_voxel_grids, out.num_events)
         return st, out.reconstruction

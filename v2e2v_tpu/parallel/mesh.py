@@ -71,7 +71,9 @@ def make_e2v_train_step(
     gt_shard = batch_sharding(mesh, time_leading=False)
 
     def loss_fn(params, voxel_seq, gt):
-        recs, _ = cista_sequence(params, cfg, voxel_seq)
+        # remat: BPTT over len_sequence=15 at 180x240 b=8 fp32 otherwise
+        # overflows 16G HBM (every conv activation of every step kept live)
+        recs, _ = cista_sequence(params, cfg, voxel_seq, remat=True)
         return many_to_one_loss(recs[-1], gt, lpips_fn=lpips_fn)
 
     def step(params, opt_state, voxel_seq, gt):
@@ -122,10 +124,12 @@ def make_v2e2v_train_step(
     def loss_fn(params, frames_seq, ts_seq, gt, key):
         if monitor:
             recs, _, (voxels, nevs) = v2e2v_sequence(
-                params, cfg, frames_seq, ts_seq, key, with_monitor=True
+                params, cfg, frames_seq, ts_seq, key, with_monitor=True, remat=True
             )
         else:
-            recs, _ = v2e2v_sequence(params, cfg, frames_seq, ts_seq, key)
+            recs, _ = v2e2v_sequence(
+                params, cfg, frames_seq, ts_seq, key, remat=True
+            )
         rec = jnp.clip(recs[-1], clamp[0], clamp[1])
         loss = many_to_one_loss(rec, gt, lpips_fn=lpips_fn)
         aux = (

@@ -144,4 +144,11 @@ def set_configs(parser: argparse.ArgumentParser) -> None:
                      help="If set, write a jax.profiler trace here")
     tpu.add_argument("--debug_nans", dest="debug_nans", action="store_true",
                      help="Enable jax_debug_nans (abort on first NaN)")
-    tpu.set_defaults(debug_nans=False)
+    tpu.add_argument("--drop_seq_tails", dest="drop_seq_tails",
+                     action="store_true",
+                     help="Drop variable-length sequence tails from training "
+                     "data so every batch has the same [T, B] shape (each "
+                     "distinct shape is a separate minutes-long XLA compile; "
+                     "the reference keeps tails >= 5 groups, which is free "
+                     "under eager torch)")
+    tpu.set_defaults(debug_nans=False, drop_seq_tails=False)
