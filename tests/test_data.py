@@ -121,6 +121,56 @@ def test_train_seq_data(synth_dir):
     assert batches[0][1].shape == (1, 2, 6, 32, 40)
 
 
+def test_train_fix_n_event_data_drop_seq_tails(synth_dir):
+    """--drop_seq_tails keeps only full-length sequences (uniform [T, ...]
+    shapes -> one XLA compile instead of one per distinct tail length)."""
+    import argparse
+
+    from v2e2v_tpu.data.datasets import TrainFixNEventData
+    from v2e2v_tpu.utils.configs import set_configs
+
+    parser = argparse.ArgumentParser()
+    set_configs(parser)
+    # num_events=1 -> every interval is its own group; len_sequence=9 over
+    # ~23 groups/video leaves a >=5-group tail at the video boundary
+    args = ["--path_to_train_data", synth_dir, "--image_dim", "32", "40",
+            "--num_events", "1", "--len_sequence", "9"]
+    cfgs = parser.parse_args(args)
+    ds = TrainFixNEventData(os.path.join(synth_dir, "train_e2v.txt"), cfgs)
+    lens = [len(s) for s in ds.sequence_line_id]
+    assert any(n < 9 for n in lens), "fixture must produce a tail"
+
+    cfgs_drop = parser.parse_args(args + ["--drop_seq_tails"])
+    ds_drop = TrainFixNEventData(os.path.join(synth_dir, "train_e2v.txt"), cfgs_drop)
+    lens_drop = [len(s) for s in ds_drop.sequence_line_id]
+    assert all(n == 9 for n in lens_drop)
+    assert len(ds_drop) == sum(n == 9 for n in lens)
+
+
+def test_train_seq_data_drop_seq_tails(tmp_path):
+    from v2e2v_tpu.data.datasets import TrainSeqData
+
+    # 8 pack lines in one video; len_sequence=4, window step 5:
+    # idx=0 -> full window, idx=5 -> 3-line tail (kept only without drop)
+    n = 2
+    lines = []
+    for i in range(8):
+        ts = f"{2 * i}.0 {2 * i + 1}.0"
+        frames = f"f{2 * i}.png f{2 * i + 1}.png"
+        lines.append(f"1 {ts} {frames}\n")
+    manifest = tmp_path / "train_v2e2v.txt"
+    manifest.write_text("".join(lines))
+
+    ds = TrainSeqData(str(manifest), str(tmp_path), len_sequence=4, num_pack_frames=n)
+    assert ds.len_seq == [4, 3]
+    ds_drop = TrainSeqData(
+        str(manifest), str(tmp_path), len_sequence=4, num_pack_frames=n,
+        drop_seq_tails=True,
+    )
+    assert ds_drop.len_seq == [4]
+    assert ds_drop.start_seq_id == [ds.start_seq_id[0]]
+
+
 def test_checkpoint_torch_roundtrip(tmp_path):
     import jax
     import torch
