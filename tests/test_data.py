@@ -171,6 +171,81 @@ def test_train_seq_data_drop_seq_tails(tmp_path):
     assert ds_drop.start_seq_id == [ds.start_seq_id[0]]
 
 
+def test_iterate_batches_num_workers_matches_inline(synth_dir):
+    """Fork-worker loading yields bit-identical batches in the same order as
+    in-process loading (incl. per-sample-seeded --add_noise draws)."""
+    import argparse
+
+    from v2e2v_tpu.data.datasets import TrainFixNEventData, iterate_batches
+    from v2e2v_tpu.utils.configs import set_configs
+
+    parser = argparse.ArgumentParser()
+    set_configs(parser)
+    cfgs = parser.parse_args(
+        ["--path_to_train_data", synth_dir, "--image_dim", "32", "40",
+         "--num_events", "300", "--len_sequence", "3", "--add_noise"]
+    )
+    ds = TrainFixNEventData(os.path.join(synth_dir, "train_e2v.txt"), cfgs)
+    inline = list(iterate_batches(ds, batch_size=2, shuffle=True, seed=3))
+    pooled = list(
+        iterate_batches(ds, batch_size=2, shuffle=True, seed=3, num_workers=2)
+    )
+    assert len(inline) == len(pooled) > 0
+    for a, b in zip(inline, pooled):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_cache_samples_bitwise_and_fresh_noise(synth_dir):
+    """--cache_samples returns bit-identical samples across epochs, while
+    --add_noise still draws fresh augmentation per epoch on top of the
+    (noiseless) cache."""
+    import argparse
+
+    from v2e2v_tpu.data.datasets import TrainFixNEventData, TrainSeqData
+    from v2e2v_tpu.utils.configs import set_configs
+
+    parser = argparse.ArgumentParser()
+    set_configs(parser)
+    base = ["--path_to_train_data", synth_dir, "--image_dim", "32", "40",
+            "--num_events", "300", "--len_sequence", "3"]
+    cfgs = parser.parse_args(base + ["--cache_samples"])
+    ds = TrainFixNEventData(os.path.join(synth_dir, "train_e2v.txt"), cfgs)
+    a = ds[0]
+    b = ds[0]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # cached == uncached
+    ds_plain = TrainFixNEventData(
+        os.path.join(synth_dir, "train_e2v.txt"), parser.parse_args(base)
+    )
+    for x, y in zip(a, ds_plain[0]):
+        np.testing.assert_array_equal(x, y)
+
+    cfgs_n = parser.parse_args(base + ["--cache_samples", "--add_noise"])
+    ds_n = TrainFixNEventData(os.path.join(synth_dir, "train_e2v.txt"), cfgs_n)
+    ds_n.epoch = 0
+    e0 = ds_n[0][0]
+    ds_n.epoch = 1
+    e1 = ds_n[0][0]
+    assert not np.array_equal(e0, e1)  # fresh draw per epoch
+    np.testing.assert_array_equal(ds_n[0][1], a[1])  # img untouched by noise
+
+    seq = TrainSeqData(
+        os.path.join(synth_dir, "train_v2e2v.txt"), synth_dir,
+        len_sequence=2, num_pack_frames=6, cache_samples=True,
+    )
+    s0, s1 = seq[0], seq[0]
+    for x, y in zip(s0, s1):
+        np.testing.assert_array_equal(x, y)
+    seq_plain = TrainSeqData(
+        os.path.join(synth_dir, "train_v2e2v.txt"), synth_dir,
+        len_sequence=2, num_pack_frames=6,
+    )
+    for x, y in zip(s0, seq_plain[0]):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_checkpoint_torch_roundtrip(tmp_path):
     import jax
     import torch

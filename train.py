@@ -78,6 +78,7 @@ class Train:
             cfgs.len_sequence,
             cfgs.num_pack_frames,
             drop_seq_tails=getattr(cfgs, "drop_seq_tails", False),
+            cache_samples=getattr(cfgs, "cache_samples", False),
         )
         print(f"training sequences: {len(self.train_data)}")
 
@@ -145,7 +146,9 @@ class Train:
             epoch_loss_sum = 0.0
             for n_batches, batch in enumerate(
                 iterate_batches(
-                    self.train_data, cfgs.batch_size, cfgs.shuffle, seed=cfgs.seed + epoch
+                    self.train_data, cfgs.batch_size, cfgs.shuffle,
+                    seed=cfgs.seed + epoch,
+                    num_workers=getattr(cfgs, "num_workers", 0),
                 )
             ):
                 seq_ts, seq_images, seq_gt = batch  # [B,T,N], [B,T,N,H,W], [B,T,H,W,1]

@@ -138,6 +138,7 @@ class Train:
             lr = float(self.lr_for_epoch(epoch))
             self.opt_state.hyperparams["learning_rate"] = np.asarray(lr, np.float32)
             print(f"lr: {lr}")
+            self.train_data.epoch = epoch  # salts per-epoch noise draws
             t_epoch = time.time()
             n_batches = 0
             epoch_loss_sum = 0.0
@@ -146,6 +147,7 @@ class Train:
                 shardable(iterate_batches(
                     self.train_data, cfgs.batch_size, cfgs.shuffle,
                     seed=cfgs.seed + epoch,
+                    num_workers=getattr(cfgs, "num_workers", 0),
                 )),
                 transform=to_device_layout,
                 sharding=(seq_shard, gt_shard),

@@ -56,7 +56,15 @@ class TrainFixNEventData:
             self.sequence_line_id = [
                 s for s in self.sequence_line_id if len(s) == self.len_sequence
             ]
-        self._noise_rng = np.random.default_rng(getattr(cfgs, "seed", 0))
+        # per-sample seeding (not one sequential stream): identical noise no
+        # matter which fork worker loads the sample, or in what order; the
+        # train loop bumps ``self.epoch`` so augmentation stays fresh per epoch
+        self._noise_seed = getattr(cfgs, "seed", 0)
+        self.epoch = 0
+        # RAM cache of the noiseless decoded/voxelized samples — the npz
+        # inflate + voxelize dominates epoch time on few-core hosts and is
+        # identical every epoch (--cache_samples; ~13 MB/sample at 180x240)
+        self._cache = {} if getattr(cfgs, "cache_samples", False) else None
 
     def _split_sequences(self, video_cnt, num_events_list):
         """Greedy grouping (reference :149-184)."""
@@ -99,7 +107,7 @@ class TrainFixNEventData:
         )
         return np.moveaxis(grid, 0, -1)  # bins-last
 
-    def __getitem__(self, index):
+    def _load_noiseless(self, index):
         import cv2
 
         sequence = self.sequence_line_id[index]
@@ -115,11 +123,7 @@ class TrainFixNEventData:
                     np.stack((data["t"], data["x"], data["y"], data["p"]), axis=1)
                 )
             events = np.concatenate(windows, 0)
-            grid = self._voxelize(events)
-            if self.add_noise:
-                noise = 0.1 * self._noise_rng.normal(size=grid.shape).astype(np.float32)
-                grid = grid + noise
-            seq_events.append(grid)
+            seq_events.append(self._voxelize(events))
 
         img = cv2.imread(
             os.path.join(self.path_to_train_data, self.image_paths[sequence[0][0]]),
@@ -136,6 +140,20 @@ class TrainFixNEventData:
             gt[..., None],  # [H, W, 1]
         )
 
+    def __getitem__(self, index):
+        if self._cache is not None:
+            sample = self._cache.get(index)
+            if sample is None:
+                sample = self._cache[index] = self._load_noiseless(index)
+        else:
+            sample = self._load_noiseless(index)
+        seq_events, img, gt = sample
+        if self.add_noise:
+            rng = np.random.default_rng((self._noise_seed, self.epoch, index))
+            noise = 0.1 * rng.normal(size=seq_events.shape).astype(np.float32)
+            seq_events = seq_events + noise  # new array; cache stays noiseless
+        return seq_events, img, gt
+
 
 class TrainSeqData:
     """V2E2V training samples: sequences of HFR frame packs."""
@@ -147,11 +165,14 @@ class TrainSeqData:
         len_sequence,
         num_pack_frames,
         drop_seq_tails: bool = False,
+        cache_samples: bool = False,
     ):
         self.path_to_train_data = path_to_train_data
         self.len_sequence = len_sequence
         self.num_pack_frames = num_pack_frames
         self.drop_seq_tails = drop_seq_tails
+        # uint8 frame cache (source PNGs are 8-bit gray; cast on emit)
+        self._cache = {} if cache_samples else None
 
         self.timestamps: list[float] = []
         self.image_paths: list[str] = []
@@ -193,41 +214,91 @@ class TrainSeqData:
     def __len__(self):
         return len(self.start_seq_id)
 
-    def __getitem__(self, index):
+    def _load_raw(self, index):
         import cv2
 
         seq_id = self.start_seq_id[index]
         cur_len = self.len_seq[index]
         n = self.num_pack_frames
 
-        seq_ts, seq_images, seq_gt = [], [], []
+        seq_ts, seq_images = [], []
         for m in range(cur_len):
             start = (seq_id + m) * n
-            ts = np.asarray(self.timestamps[start : start + n], np.float64)
-            imgs = [
-                cv2.imread(self.image_paths[start + i], cv2.IMREAD_GRAYSCALE).astype(
-                    np.float32
-                )
-                for i in range(n)
-            ]
-            images = np.stack(imgs, 0)  # [N, H, W], 0-255 (emulator domain)
-            seq_ts.append(ts)
-            seq_images.append(images)
-            seq_gt.append(images[-1][..., None] / 255.0)
+            seq_ts.append(np.asarray(self.timestamps[start : start + n], np.float64))
+            seq_images.append(
+                np.stack(
+                    [
+                        cv2.imread(self.image_paths[start + i], cv2.IMREAD_GRAYSCALE)
+                        for i in range(n)
+                    ],
+                    0,
+                )  # [N, H, W] uint8
+            )
+        return np.stack(seq_ts, 0), np.stack(seq_images, 0)
 
+    def __getitem__(self, index):
+        if self._cache is not None:
+            raw = self._cache.get(index)
+            if raw is None:
+                raw = self._cache[index] = self._load_raw(index)
+        else:
+            raw = self._load_raw(index)
+        ts, images_u8 = raw
+        images = images_u8.astype(np.float32)  # [T, N, H, W], 0-255 (emulator)
         return (
-            np.stack(seq_ts, 0),  # [T, N]
-            np.stack(seq_images, 0),  # [T, N, H, W]
-            np.stack(seq_gt, 0),  # [T, H, W, 1]
+            ts,  # [T, N]
+            images,
+            images[:, -1, :, :, None] / 255.0,  # [T, H, W, 1] ground truth
         )
 
 
-def iterate_batches(dataset, batch_size: int = 1, shuffle: bool = True, seed: int = 0):
+# --- worker-pool sample loading -------------------------------------------
+# The reference loads samples in torch DataLoader fork workers
+# (``train_e2v.py:61``, num_workers=4). Same model here: fork-context
+# processes run the numpy/cv2 ``__getitem__`` (npz inflate, image decode,
+# voxelize) in parallel and MUST NOT touch jax — the parent's initialized
+# TPU backend is inherited by fork but is not fork-safe to use.
+
+_WORKER_DATASET = None
+
+
+def _pool_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _pool_load(idx):
+    return _WORKER_DATASET[int(idx)]
+
+
+def _iter_samples(dataset, order, num_workers: int):
+    """Yield ``dataset[i] for i in order``, loading in parallel when
+    ``num_workers > 0`` (order preserved; pool torn down on close)."""
+    if num_workers <= 0:
+        for idx in order:
+            yield dataset[int(idx)]
+        return
+    import multiprocessing
+
+    ctx = multiprocessing.get_context("fork")
+    with ctx.Pool(num_workers, initializer=_pool_init, initargs=(dataset,)) as pool:
+        yield from pool.imap(_pool_load, order, chunksize=1)
+
+
+def iterate_batches(
+    dataset,
+    batch_size: int = 1,
+    shuffle: bool = True,
+    seed: int = 0,
+    num_workers: int = 0,
+):
     """Yield batch-first stacked numpy batches ``tuple[np.ndarray [B, ...]]``.
 
     A batch is flushed early when the next sample's shapes differ
     (variable-length sequence tails — the reference documents that
     ``--batch_size`` must be 1 when sequence length is not fixed).
+    ``num_workers > 0`` loads samples in fork worker processes (the
+    reference's DataLoader(num_workers=4) analog).
     """
     order = np.arange(len(dataset))
     if shuffle:
@@ -237,8 +308,7 @@ def iterate_batches(dataset, batch_size: int = 1, shuffle: bool = True, seed: in
         return tuple(np.stack(parts, 0) for parts in zip(*batch))
 
     batch = []
-    for idx in order:
-        sample = dataset[int(idx)]
+    for sample in _iter_samples(dataset, order, num_workers):
         if batch and any(b.shape != s.shape for b, s in zip(batch[0], sample)):
             yield flush(batch)
             batch = []

@@ -151,4 +151,16 @@ def set_configs(parser: argparse.ArgumentParser) -> None:
                      "distinct shape is a separate minutes-long XLA compile; "
                      "the reference keeps tails >= 5 groups, which is free "
                      "under eager torch)")
-    tpu.set_defaults(debug_nans=False, drop_seq_tails=False)
+    tpu.add_argument("--num_workers", dest="num_workers", default=0, type=int,
+                     help="Fork worker processes for training-sample loading "
+                     "(the reference's DataLoader(num_workers=4) analog); "
+                     "0 = load in the main process (the safe default on "
+                     "few-core hosts — fork of a multithreaded JAX process "
+                     "is deadlock-prone)")
+    tpu.add_argument("--cache_samples", dest="cache_samples",
+                     action="store_true",
+                     help="Cache decoded/voxelized training samples in RAM "
+                     "across epochs (~13 MB/sample at 180x240; noise "
+                     "augmentation is still drawn fresh per epoch)")
+    tpu.set_defaults(debug_nans=False, drop_seq_tails=False,
+                     cache_samples=False)
