@@ -246,17 +246,29 @@ def main():
     ap.add_argument("--depth", type=int, default=5)
     ap.add_argument("--num_events", type=int, default=600)
     ap.add_argument("--report", default=os.path.join(REPO, "PARITY_RUN.md"))
+    ap.add_argument("--ckpt", default=None,
+                    help="Existing orbax checkpoint — skip data-gen/training "
+                    "and check parity of this model (e.g. the flagship)")
+    ap.add_argument("--test_dir", default=None,
+                    help="Existing test-sequence folder (required with --ckpt)")
     args = ap.parse_args()
 
     force_cpu()
     h, w = args.image_dim
     os.makedirs(args.work_dir, exist_ok=True)
-    train_dir, test_dir = make_data(args.work_dir, h, w)
-    ckpt = os.path.join(args.work_dir, "parity_ckpt")
-    params = train(
-        train_dir, ckpt, args.epochs, h, w, args.base_channels, args.depth,
-        args.num_events,
-    )
+    if args.ckpt:
+        assert args.test_dir, "--ckpt needs --test_dir"
+        from v2e2v_tpu.utils.checkpoint import load_checkpoint
+
+        ckpt, test_dir = args.ckpt, args.test_dir
+        params = load_checkpoint(ckpt)["params"]
+    else:
+        train_dir, test_dir = make_data(args.work_dir, h, w)
+        ckpt = os.path.join(args.work_dir, "parity_ckpt")
+        params = train(
+            train_dir, ckpt, args.epochs, h, w, args.base_channels, args.depth,
+            args.num_events,
+        )
     ours = run_our_cli(
         test_dir, ckpt, os.path.join(args.work_dir, "out"), h, w,
         args.base_channels, args.depth, args.num_events,
@@ -269,8 +281,10 @@ def main():
         "# End-to-end metric parity run",
         "",
         f"Config: CISTA-LSTC {h}x{w}, {args.base_channels}ch, depth {args.depth}, "
-        f"trained {args.epochs} epochs on synthetic data (seed-pinned), "
-        f"evaluated on held-out synthetic sequences with "
+        + (f"checkpoint `{os.path.basename(args.ckpt)}`, "
+           if args.ckpt else
+           f"trained {args.epochs} epochs on synthetic data (seed-pinned), ")
+        + f"evaluated on held-out synthetic sequences with "
         f"`--test_data_mode upsampled --num_events {args.num_events}`.",
         "",
         "This framework's `test_e2v.py` CLI vs the GENUINE reference model + "

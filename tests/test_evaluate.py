@@ -53,6 +53,8 @@ def test_training_ssim_gaussian_identity():
 
 
 def test_normalize_image_minmax_u8():
+    import cv2
+
     from v2e2v_tpu.ops.image import normalize_image_minmax_u8
 
     x = np.array([[0.25, 0.5], [0.75, 1.0]])
@@ -61,6 +63,15 @@ def test_normalize_image_minmax_u8():
     assert out.min() == 0 and out.max() == 255
     # constant image -> zeros (cv2 semantics: zero scale)
     assert (normalize_image_minmax_u8(np.full((4, 4), 3.0)) == 0).all()
+
+    # bit-exact vs the reference's actual pipeline:
+    # np.uint8(cv2.normalize(pred, None, 0, 255, NORM_MINMAX)) — note the
+    # reference uint8 conversion TRUNCATES (numpy cast, not a round)
+    rng = np.random.default_rng(7)
+    for shape in ((180, 240), (33, 41)):
+        pred = rng.uniform(0.01, 0.9, shape).astype(np.float32)
+        ref = np.uint8(cv2.normalize(pred, None, 0, 255, cv2.NORM_MINMAX))
+        np.testing.assert_array_equal(normalize_image_minmax_u8(pred), ref)
 
 
 def test_normalize_image_percentile_clamps():

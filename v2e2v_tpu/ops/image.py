@@ -31,15 +31,28 @@ def normalize_image_percentile(image, low: float = 1.0, high: float = 99.0):
 
 
 def normalize_image_minmax_u8(image: np.ndarray) -> np.ndarray:
-    """``cv2.normalize(..., 0, 255, cv2.NORM_MINMAX)`` -> uint8 equivalent.
+    """``np.uint8(cv2.normalize(..., 0, 255, cv2.NORM_MINMAX))`` — the exact
+    prediction normalization of reference ``test_e2v.py:122`` / ``test.py:122``.
 
-    Used on predictions before eval/writing (``test_e2v.py:122``,
-    ``test.py:122``).
+    The reference's uint8 conversion is a numpy CAST of the cv2-normalized
+    float image, i.e. it TRUNCATES — an earlier rounding version here biased
+    eval MSE ~1.3% high vs the reference loop on identical predictions
+    (~13%% of pixels land one level apart). cv2 is used directly when
+    available; the fallback replicates cv2's x*scale + shift evaluation
+    order and the truncating cast.
     """
-    image = np.asarray(image, dtype=np.float64)
-    mn, mx = image.min(), image.max()
-    scale = 255.0 / (mx - mn) if mx > mn else 0.0
-    return np.uint8(np.round((image - mn) * scale))
+    image = np.asarray(image)
+    try:
+        import cv2
+
+        return np.uint8(cv2.normalize(image, None, 0, 255, cv2.NORM_MINMAX))
+    except ImportError:
+        src = image.astype(np.float64)
+        mn, mx = src.min(), src.max()
+        scale = 255.0 / (mx - mn) if mx > mn else 0.0
+        shift = -mn * scale
+        out = (image.astype(np.float32) * np.float32(scale)) + np.float32(shift)
+        return np.clip(out, 0, 255).astype(np.uint8)
 
 
 def optimal_crop_size(max_size: int, max_subsample_factor: int) -> int:
