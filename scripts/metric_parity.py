@@ -257,7 +257,8 @@ def main():
     h, w = args.image_dim
     os.makedirs(args.work_dir, exist_ok=True)
     if args.ckpt:
-        assert args.test_dir, "--ckpt needs --test_dir"
+        if not args.test_dir:
+            ap.error("--ckpt requires --test_dir")
         from v2e2v_tpu.utils.checkpoint import load_checkpoint
 
         ckpt, test_dir = args.ckpt, args.test_dir

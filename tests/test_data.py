@@ -196,6 +196,44 @@ def test_iterate_batches_num_workers_matches_inline(synth_dir):
             np.testing.assert_array_equal(x, y)
 
 
+def test_cache_samples_with_workers_fills_parent_cache(synth_dir):
+    """Workers return raw samples that the PARENT caches: after one pass the
+    cache is fully populated, and a second (workerless) pass is bit-identical
+    to an uncached in-process epoch."""
+    import argparse
+
+    from v2e2v_tpu.data.datasets import TrainFixNEventData, iterate_batches
+    from v2e2v_tpu.utils.configs import set_configs
+
+    parser = argparse.ArgumentParser()
+    set_configs(parser)
+    base = ["--path_to_train_data", synth_dir, "--image_dim", "32", "40",
+            "--num_events", "300", "--len_sequence", "3", "--add_noise"]
+    ds = TrainFixNEventData(
+        os.path.join(synth_dir, "train_e2v.txt"),
+        parser.parse_args(base + ["--cache_samples"]),
+    )
+    pooled = list(iterate_batches(ds, 2, shuffle=True, seed=5, num_workers=2))
+    assert len(ds._cache) == len(ds)
+
+    ds_plain = TrainFixNEventData(
+        os.path.join(synth_dir, "train_e2v.txt"), parser.parse_args(base)
+    )
+    inline = list(iterate_batches(ds_plain, 2, shuffle=True, seed=5))
+    assert len(inline) == len(pooled) > 0
+    for a, b in zip(inline, pooled):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    # second epoch: served from the parent cache, still equal to fresh loads
+    ds.epoch = ds_plain.epoch = 1
+    again_cached = list(iterate_batches(ds, 2, shuffle=True, seed=6))
+    again_plain = list(iterate_batches(ds_plain, 2, shuffle=True, seed=6))
+    for a, b in zip(again_plain, again_cached):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
 def test_cache_samples_bitwise_and_fresh_noise(synth_dir):
     """--cache_samples returns bit-identical samples across epochs, while
     --add_noise still draws fresh augmentation per epoch on top of the
@@ -313,6 +351,54 @@ def test_prefetch_iterator_order_and_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="producer failed"):
         list(it)
+
+
+def test_prefetch_iterator_end_not_dropped_when_queue_full():
+    """Regression: with a slow consumer the producer finishes while the
+    buffer is still full — the end-of-stream marker must not be dropped
+    (a dropped marker hangs the consumer forever on q.get())."""
+    import threading
+    import time
+
+    from v2e2v_tpu.data.prefetch import prefetch_iterator
+
+    out = []
+
+    def consume():
+        for x in prefetch_iterator(iter(range(3)), size=1):
+            time.sleep(0.3)  # producer completes while the queue is full
+            out.append(x)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=15)
+    assert not t.is_alive(), "consumer hung waiting for a dropped END marker"
+    assert out == [0, 1, 2]
+
+
+def test_prefetch_iterator_abandonment_closes_source():
+    """Dropping the prefetch generator mid-stream must stop the producer and
+    close the source iterator (releasing e.g. worker pools)."""
+    import time
+
+    from v2e2v_tpu.data.prefetch import prefetch_iterator
+
+    closed = []
+
+    def src():
+        try:
+            for i in range(1000):
+                yield i
+        finally:
+            closed.append(True)
+
+    it = prefetch_iterator(src(), size=2)
+    assert next(it) == 0
+    it.close()  # consumer abandons mid-stream
+    deadline = time.time() + 10
+    while not closed and time.time() < deadline:
+        time.sleep(0.05)
+    assert closed, "source iterator was not closed after abandonment"
 
 
 def test_device_prefetch_places_on_device():

@@ -4,6 +4,7 @@ import os
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -129,6 +130,50 @@ def test_spatial_sharding_grads_match(w=24):
             np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5
         ),
         g_single, g_sharded,
+    )
+
+
+def test_device_data_step_matches_host_batch_step():
+    """The device-resident-dataset step (on-device gather by index) must
+    produce the same loss/params as the host-batch step on the same batch."""
+    import optax
+
+    from v2e2v_tpu.models.cista import CistaConfig, init_cista_lstc
+    from v2e2v_tpu.parallel.mesh import (
+        make_e2v_train_step,
+        make_e2v_train_step_device_data,
+        make_mesh,
+    )
+
+    cfg = CistaConfig(image_dim=(16, 20), base_channels=8, depth=2, num_bins=5)
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    tx = optax.adam(1e-3)
+    mesh = make_mesh(1, 1)
+
+    key = jax.random.PRNGKey(9)
+    data = jax.random.normal(key, (6, 3, 16, 20, 5))  # [N, T, H, W, nb]
+    gt_all = jax.random.uniform(jax.random.fold_in(key, 1), (6, 16, 20, 1))
+    idx = jnp.asarray([4, 1], jnp.int32)
+
+    host_step = make_e2v_train_step(cfg, tx, mesh)
+    dev_step = make_e2v_train_step_device_data(cfg, tx, mesh)
+
+    voxel_seq = jnp.moveaxis(data[idx], 1, 0)  # [T, B, H, W, nb]
+    gt = gt_all[idx]
+    p1, _, loss1 = host_step(
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        tx.init(params), voxel_seq, gt,
+    )
+    p2, _, loss2 = dev_step(
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        tx.init(params), data, gt_all, idx, jax.random.PRNGKey(0),
+    )
+    assert float(loss1) == pytest.approx(float(loss2), rel=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-7, rtol=1e-6
+        ),
+        p1, p2,
     )
 
 

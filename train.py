@@ -129,12 +129,18 @@ class Train:
     def run(self):
         import jax
 
-        from v2e2v_tpu.data.datasets import iterate_batches
+        from v2e2v_tpu.data.datasets import SampleLoader, iterate_batches
         from v2e2v_tpu.utils.logging import ScalarLogger
 
         cfgs = self.cfgs
         logger = ScalarLogger(
             os.path.join("summary", self.model_name), enabled=cfgs.is_SummaryWriter
+        )
+        # persistent spawn-worker pool, reused across epochs
+        loader = (
+            SampleLoader(self.train_data, cfgs.num_workers)
+            if getattr(cfgs, "num_workers", 0) > 0
+            else None
         )
 
         step_idx = 0
@@ -147,8 +153,7 @@ class Train:
             for n_batches, batch in enumerate(
                 iterate_batches(
                     self.train_data, cfgs.batch_size, cfgs.shuffle,
-                    seed=cfgs.seed + epoch,
-                    num_workers=getattr(cfgs, "num_workers", 0),
+                    seed=cfgs.seed + epoch, loader=loader,
                 )
             ):
                 seq_ts, seq_images, seq_gt = batch  # [B,T,N], [B,T,N,H,W], [B,T,H,W,1]
@@ -206,6 +211,8 @@ class Train:
                     "v2e_params": self.v2e_params,
                 },
             )
+        if loader is not None:
+            loader.close()
         logger.close()
 
 

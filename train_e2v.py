@@ -100,19 +100,120 @@ class Train:
         self.lpips_fn = make_lpips_fn()
         if self.lpips_fn is None:
             print("LPIPS weights unavailable; training with L1 + (1 - SSIM) only")
-        self.train_step = make_e2v_train_step(
-            self.cfg, self.tx, self.mesh, lpips_fn=self.lpips_fn
-        )
+        if getattr(cfgs, "device_data", "off") != "off":
+            from v2e2v_tpu.parallel.mesh import make_e2v_train_step_device_data
+
+            if not getattr(cfgs, "drop_seq_tails", False):
+                raise SystemExit("--device_data requires --drop_seq_tails "
+                                 "(uniform [T, ...] sample shapes)")
+            self.train_step = make_e2v_train_step_device_data(
+                self.cfg, self.tx, self.mesh, lpips_fn=self.lpips_fn,
+                noise_std=0.1 if cfgs.add_noise else 0.0,
+            )
+        else:
+            self.train_step = make_e2v_train_step(
+                self.cfg, self.tx, self.mesh, lpips_fn=self.lpips_fn
+            )
 
         self._save_checkpoint = save_checkpoint
 
+    def _upload_dataset(self):
+        """--device_data: one-time upload of the whole uniform-shape training
+        set to device HBM (bf16 halves it). See
+        ``make_e2v_train_step_device_data`` for why (host-RAM transfer leak)."""
+        import jax.numpy as jnp
+
+        cfgs = self.cfgs
+        dtype = jnp.bfloat16 if cfgs.device_data == "bf16" else jnp.float32
+        ds = self.train_data
+        seqs, gts = [], []
+        for i in range(len(ds)):
+            seq_events, _img, gt = ds._load_cacheable(i)
+            seqs.append(seq_events.astype(np.float32))
+            gts.append(gt)
+        data = np.stack(seqs, 0)  # [N, T, H, W, nb]
+        gt_all = np.stack(gts, 0)  # [N, H, W, 1]
+        gbytes = data.nbytes * (0.5 if dtype == jnp.bfloat16 else 1.0) / 2**30
+        print(f"uploading dataset to device: {data.shape} {cfgs.device_data} "
+              f"({gbytes:.1f} GiB)")
+        # one f32 transfer (the one-time acceptable leak), then cast on device
+        data_dev = jnp.asarray(data).astype(dtype)
+        gt_dev = jnp.asarray(gt_all).astype(dtype)
+        data_dev.block_until_ready()
+        return data_dev, gt_dev
+
+    def _run_device_data(self, logger):
+        """Training loop over the device-resident dataset: per step the host
+        sends ONLY an index array (and a PRNG key) — no per-batch H2D."""
+        import jax
+        import jax.numpy as jnp
+
+        cfgs = self.cfgs
+        data_dev, gt_dev = self._upload_dataset()
+        n = len(self.train_data)
+        bsz = cfgs.batch_size
+        base_key = jax.random.PRNGKey(cfgs.seed + 17)
+
+        step_idx = 0
+        for epoch in range(cfgs.load_epoch_for_train, cfgs.epochs):
+            lr = float(self.lr_for_epoch(epoch))
+            self.opt_state.hyperparams["learning_rate"] = np.asarray(lr, np.float32)
+            print(f"lr: {lr}")
+            t_epoch = time.time()
+            order = np.arange(n)
+            if cfgs.shuffle:
+                np.random.default_rng(cfgs.seed + epoch).shuffle(order)
+            n_batches = 0
+            epoch_loss_sum = 0.0
+            for start in range(0, n - bsz + 1, bsz):
+                idx = jnp.asarray(order[start : start + bsz].astype(np.int32))
+                key = jax.random.fold_in(base_key, step_idx)
+                self.params, self.opt_state, loss = self.train_step(
+                    self.params, self.opt_state, data_dev, gt_dev, idx, key
+                )
+                loss = float(loss)
+                epoch_loss_sum += loss
+                if n_batches % 50 == 0:
+                    print(
+                        f"Train Epoch: {epoch + 1} [{n_batches * bsz}/{n}]"
+                        f"\tloss: {loss:.6f}"
+                    )
+                    logger.scalar("loss", loss, step_idx)
+                n_batches += 1
+                step_idx += 1
+
+            mean_loss = epoch_loss_sum / max(n_batches, 1)
+            print(
+                f"epoch {epoch + 1} done in {time.time() - t_epoch:.1f}s, "
+                f"mean loss {mean_loss:.5f}"
+            )
+            logger.scalar("epoch_mean_loss", mean_loss, epoch)
+            self._save_checkpoint(
+                os.path.join(self.path_to_model, f"{self.model_name}_{epoch + 1}"),
+                {
+                    "epoch": epoch,
+                    "params": self.params,
+                    "opt_state": self.opt_state,
+                },
+            )
+        logger.close()
+
     def run(self):
-        from v2e2v_tpu.data.datasets import iterate_batches
+        from v2e2v_tpu.data.datasets import SampleLoader, iterate_batches
         from v2e2v_tpu.utils.logging import ScalarLogger
 
         cfgs = self.cfgs
         logger = ScalarLogger(
             os.path.join("summary", self.model_name), enabled=cfgs.is_SummaryWriter
+        )
+        if getattr(cfgs, "device_data", "off") != "off":
+            self._run_device_data(logger)
+            return
+        # persistent spawn-worker pool, reused across epochs
+        loader = (
+            SampleLoader(self.train_data, cfgs.num_workers)
+            if getattr(cfgs, "num_workers", 0) > 0
+            else None
         )
 
         from v2e2v_tpu.data.prefetch import device_prefetch
@@ -146,8 +247,7 @@ class Train:
             for voxel_seq, gt in device_prefetch(
                 shardable(iterate_batches(
                     self.train_data, cfgs.batch_size, cfgs.shuffle,
-                    seed=cfgs.seed + epoch,
-                    num_workers=getattr(cfgs, "num_workers", 0),
+                    seed=cfgs.seed + epoch, loader=loader,
                 )),
                 transform=to_device_layout,
                 sharding=(seq_shard, gt_shard),
@@ -180,6 +280,8 @@ class Train:
                     "opt_state": self.opt_state,
                 },
             )
+        if loader is not None:
+            loader.close()
         logger.close()
 
 

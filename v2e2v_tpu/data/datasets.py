@@ -140,6 +140,19 @@ class TrainFixNEventData:
             gt[..., None],  # [H, W, 1]
         )
 
+    # cacheable/emit split: the expensive epoch-invariant load vs the cheap
+    # per-epoch finalization (noise) — lets the worker pool return raw
+    # samples that the PARENT caches (see _PoolSampleStream)
+    _load_cacheable = _load_noiseless
+
+    def _emit(self, index, sample):
+        seq_events, img, gt = sample
+        if self.add_noise:
+            rng = np.random.default_rng((self._noise_seed, self.epoch, index))
+            noise = 0.1 * rng.normal(size=seq_events.shape).astype(np.float32)
+            seq_events = seq_events + noise  # new array; cache stays noiseless
+        return seq_events, img, gt
+
     def __getitem__(self, index):
         if self._cache is not None:
             sample = self._cache.get(index)
@@ -147,12 +160,7 @@ class TrainFixNEventData:
                 sample = self._cache[index] = self._load_noiseless(index)
         else:
             sample = self._load_noiseless(index)
-        seq_events, img, gt = sample
-        if self.add_noise:
-            rng = np.random.default_rng((self._noise_seed, self.epoch, index))
-            noise = 0.1 * rng.normal(size=seq_events.shape).astype(np.float32)
-            seq_events = seq_events + noise  # new array; cache stays noiseless
-        return seq_events, img, gt
+        return self._emit(index, sample)
 
 
 class TrainSeqData:
@@ -236,13 +244,9 @@ class TrainSeqData:
             )
         return np.stack(seq_ts, 0), np.stack(seq_images, 0)
 
-    def __getitem__(self, index):
-        if self._cache is not None:
-            raw = self._cache.get(index)
-            if raw is None:
-                raw = self._cache[index] = self._load_raw(index)
-        else:
-            raw = self._load_raw(index)
+    _load_cacheable = _load_raw
+
+    def _emit(self, index, raw):
         ts, images_u8 = raw
         images = images_u8.astype(np.float32)  # [T, N, H, W], 0-255 (emulator)
         return (
@@ -251,13 +255,24 @@ class TrainSeqData:
             images[:, -1, :, :, None] / 255.0,  # [T, H, W, 1] ground truth
         )
 
+    def __getitem__(self, index):
+        if self._cache is not None:
+            raw = self._cache.get(index)
+            if raw is None:
+                raw = self._cache[index] = self._load_raw(index)
+        else:
+            raw = self._load_raw(index)
+        return self._emit(index, raw)
+
 
 # --- worker-pool sample loading -------------------------------------------
-# The reference loads samples in torch DataLoader fork workers
-# (``train_e2v.py:61``, num_workers=4). Same model here: fork-context
-# processes run the numpy/cv2 ``__getitem__`` (npz inflate, image decode,
-# voxelize) in parallel and MUST NOT touch jax — the parent's initialized
-# TPU backend is inherited by fork but is not fork-safe to use.
+# The reference loads samples in torch DataLoader worker processes
+# (``train_e2v.py:61``, num_workers=4). Same model here, with SPAWN (not
+# fork) workers: the parent is a multithreaded JAX process, and forking one
+# deadlocks children on inherited locks (observed on this host — a fork
+# worker hung inside cv2/np malloc after the first train step). Spawn
+# startup is expensive, so the pool persists across epochs
+# (``SampleLoader`` = torch's persistent_workers=True analog).
 
 _WORKER_DATASET = None
 
@@ -267,22 +282,110 @@ def _pool_init(dataset):
     _WORKER_DATASET = dataset
 
 
-def _pool_load(idx):
-    return _WORKER_DATASET[int(idx)]
+def _pool_load_raw(idx):
+    return _WORKER_DATASET._load_cacheable(int(idx))
 
 
-def _iter_samples(dataset, order, num_workers: int):
-    """Yield ``dataset[i] for i in order``, loading in parallel when
-    ``num_workers > 0`` (order preserved; pool torn down on close)."""
-    if num_workers <= 0:
-        for idx in order:
-            yield dataset[int(idx)]
-        return
-    import multiprocessing
+class SampleLoader:
+    """Persistent spawn-worker pool for parallel sample loading.
 
-    ctx = multiprocessing.get_context("fork")
-    with ctx.Pool(num_workers, initializer=_pool_init, initargs=(dataset,)) as pool:
-        yield from pool.imap(_pool_load, order, chunksize=1)
+    Workers run only the epoch-invariant numpy/cv2 load
+    (``dataset._load_cacheable``) and never touch jax devices. Create once,
+    call :meth:`stream` per epoch, ``close()`` when training ends (also a
+    context manager; ``__del__`` is a safety net).
+    """
+
+    def __init__(self, dataset, num_workers: int):
+        import copy
+        import multiprocessing
+
+        self.dataset = dataset
+        self.num_workers = num_workers
+        # workers get a cache-less snapshot: the parent owns the cache, and
+        # shipping/growing per-worker copies would only burn RAM
+        ds_worker = copy.copy(dataset)
+        if getattr(ds_worker, "_cache", None) is not None:
+            ds_worker._cache = None
+        ctx = multiprocessing.get_context("spawn")
+        self.pool = ctx.Pool(
+            num_workers, initializer=_pool_init, initargs=(ds_worker,)
+        )
+
+    def stream(self, order):
+        return _PoolSampleStream(self.dataset, order, self)
+
+    def close(self):
+        pool, self.pool = getattr(self, "pool", None), None
+        if pool is not None:
+            pool.terminate()
+            pool.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        self.close()
+
+
+class _PoolSampleStream:
+    """One epoch's ordered sample stream over a ``SampleLoader``.
+
+    - Workers return the epoch-invariant raw sample; the PARENT stores it
+      in ``dataset._cache`` (when enabled) and applies the per-epoch
+      finalization (``dataset._emit``) — so ``--cache_samples`` composes
+      with workers, and cached indices skip the pool entirely.
+    - At most ``2*num_workers + 2`` results are in flight (torch
+      DataLoader's prefetch_factor analog): a slow consumer cannot
+      accumulate an epoch of decoded samples in the parent.
+    """
+
+    def __init__(self, dataset, order, loader: SampleLoader):
+        self.dataset = dataset
+        self.order = [int(i) for i in order]
+        self.loader = loader
+        self.max_inflight = 2 * loader.num_workers + 2
+        self._pos = 0  # next order position to emit
+        self._submit_pos = 0  # next order position to consider submitting
+        self._inflight = {}  # order position -> AsyncResult
+
+    def _cached(self, idx):
+        cache = getattr(self.dataset, "_cache", None)
+        return None if cache is None else cache.get(idx)
+
+    def _pump(self):
+        pool = self.loader.pool
+        while (
+            pool is not None
+            and len(self._inflight) < self.max_inflight
+            and self._submit_pos < len(self.order)
+        ):
+            pos = self._submit_pos
+            idx = self.order[pos]
+            if self._cached(idx) is None:
+                self._inflight[pos] = pool.apply_async(_pool_load_raw, (idx,))
+            self._submit_pos += 1
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._pos >= len(self.order):
+            raise StopIteration
+        self._pump()
+        pos = self._pos
+        idx = self.order[pos]
+        raw = self._cached(idx)
+        if raw is None:
+            res = self._inflight.pop(pos, None)
+            raw = res.get() if res is not None else self.dataset._load_cacheable(idx)
+            cache = getattr(self.dataset, "_cache", None)
+            if cache is not None:
+                cache[idx] = raw
+        self._pos += 1
+        return self.dataset._emit(idx, raw)
 
 
 def iterate_batches(
@@ -291,30 +394,51 @@ def iterate_batches(
     shuffle: bool = True,
     seed: int = 0,
     num_workers: int = 0,
+    loader: SampleLoader | None = None,
 ):
-    """Yield batch-first stacked numpy batches ``tuple[np.ndarray [B, ...]]``.
+    """Return an iterator of batch-first stacked numpy batches
+    ``tuple[np.ndarray [B, ...]]``.
 
     A batch is flushed early when the next sample's shapes differ
     (variable-length sequence tails — the reference documents that
     ``--batch_size`` must be 1 when sequence length is not fixed).
-    ``num_workers > 0`` loads samples in fork worker processes (the
-    reference's DataLoader(num_workers=4) analog).
+    Parallel loading: pass a persistent ``loader`` (reused across epochs),
+    or ``num_workers > 0`` to spin up an ephemeral pool for this iteration
+    (torn down when the iterator is exhausted, abandoned, or GC'd).
     """
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
 
-    def flush(batch):
-        return tuple(np.stack(parts, 0) for parts in zip(*batch))
+    ephemeral = None
+    if loader is None and num_workers > 0:
+        ephemeral = loader = SampleLoader(dataset, num_workers)
 
-    batch = []
-    for sample in _iter_samples(dataset, order, num_workers):
-        if batch and any(b.shape != s.shape for b, s in zip(batch[0], sample)):
-            yield flush(batch)
+    if loader is not None:
+        stream = loader.stream(order)
+    else:
+        stream = (dataset[int(i)] for i in order)
+
+    def gen():
+        def flush(batch):
+            return tuple(np.stack(parts, 0) for parts in zip(*batch))
+
+        try:
             batch = []
-        batch.append(sample)
-        if len(batch) == batch_size:
-            yield flush(batch)
-            batch = []
-    if batch:
-        yield flush(batch)
+            for sample in stream:
+                if batch and any(
+                    b.shape != s.shape for b, s in zip(batch[0], sample)
+                ):
+                    yield flush(batch)
+                    batch = []
+                batch.append(sample)
+                if len(batch) == batch_size:
+                    yield flush(batch)
+                    batch = []
+            if batch:
+                yield flush(batch)
+        finally:
+            if ephemeral is not None:
+                ephemeral.close()
+
+    return gen()

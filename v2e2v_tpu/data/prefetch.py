@@ -15,29 +15,68 @@ from typing import Callable, Iterable, Iterator
 
 
 def prefetch_iterator(it: Iterable, size: int = 2) -> Iterator:
-    """Run ``it`` in a background thread with a bounded buffer."""
+    """Run ``it`` in a background thread with a bounded buffer.
+
+    Abandonment-safe: if the consumer drops this generator mid-stream (e.g.
+    a train step raised), its ``finally`` signals the producer, which stops
+    iterating and CLOSES the source iterator — so resources held by source
+    generators (like an ephemeral worker pool in ``iterate_batches``) are
+    released instead of leaking behind a thread blocked on ``q.put``.
+    """
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
     err: list[BaseException] = []
+    stop = threading.Event()
 
     def producer():
+        src = iter(it)
         try:
-            for item in it:
-                q.put(item)
-        except BaseException as e:  # surfaced on the consumer side
-            err.append(e)
+            while not stop.is_set():
+                try:
+                    item = next(src)
+                except StopIteration:
+                    break
+                except BaseException as e:  # surfaced on the consumer side
+                    err.append(e)
+                    break
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         finally:
-            q.put(_END)
+            close = getattr(src, "close", None)
+            if close is not None:
+                close()
+            # blocking-with-stop put: the queue may be FULL of unconsumed
+            # items here, and dropping _END would hang the consumer forever;
+            # only an abandoning consumer (stop set) may discard it
+            while not stop.is_set():
+                try:
+                    q.put(_END, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a producer waiting on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5.0)
 
 
 def device_prefetch(

@@ -37,22 +37,15 @@ def normalize_image_minmax_u8(image: np.ndarray) -> np.ndarray:
     The reference's uint8 conversion is a numpy CAST of the cv2-normalized
     float image, i.e. it TRUNCATES — an earlier rounding version here biased
     eval MSE ~1.3% high vs the reference loop on identical predictions
-    (~13%% of pixels land one level apart). cv2 is used directly when
-    available; the fallback replicates cv2's x*scale + shift evaluation
-    order and the truncating cast.
+    (~13%% of pixels land one level apart). cv2 is used directly (it is a
+    hard dependency of every surrounding data/eval path already); a
+    hand-rolled fallback could silently drift from cv2's convertTo
+    arithmetic, which is exactly this bug class.
     """
-    image = np.asarray(image)
-    try:
-        import cv2
+    import cv2
 
-        return np.uint8(cv2.normalize(image, None, 0, 255, cv2.NORM_MINMAX))
-    except ImportError:
-        src = image.astype(np.float64)
-        mn, mx = src.min(), src.max()
-        scale = 255.0 / (mx - mn) if mx > mn else 0.0
-        shift = -mn * scale
-        out = (image.astype(np.float32) * np.float32(scale)) + np.float32(shift)
-        return np.clip(out, 0, 255).astype(np.uint8)
+    image = np.asarray(image)
+    return np.uint8(cv2.normalize(image, None, 0, 255, cv2.NORM_MINMAX))
 
 
 def optimal_crop_size(max_size: int, max_subsample_factor: int) -> int:

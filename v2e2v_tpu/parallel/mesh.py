@@ -90,6 +90,61 @@ def make_e2v_train_step(
     )
 
 
+def make_e2v_train_step_device_data(
+    cfg: CistaConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    lpips_fn=None,
+    noise_std: float = 0.0,
+):
+    """E2V training step over a DEVICE-RESIDENT dataset.
+
+    Motivation: on the tunneled TPU platform every host->device transfer
+    leaks its full byte size in host RAM (measured ~100 MB per 104 MB batch,
+    never reclaimed — a 60-epoch reference-recipe run leaks >300 GB and is
+    OOM-killed). With the dataset uploaded ONCE as ``data [N,T,H,W,nb]`` /
+    ``gt_all [N,H,W,1]`` and batches gathered on-device by index, the only
+    recurring transfer is the ``idx [B]`` array (bytes). See BENCH_NOTES.md.
+
+    ``noise_std > 0`` adds the reference's voxel noise augmentation
+    (``--add_noise``) on-device from ``key`` instead of on host.
+
+    Step signature: ``(params, opt_state, data, gt_all, idx [B], key)
+    -> (params, opt_state, loss)``. ``data``/``gt_all`` may be bf16 to halve
+    HBM (inputs are cast to f32 for the step).
+    """
+    rep = replicated(mesh)
+    seq_shard = batch_sharding(mesh, time_leading=True)
+    gt_shard = batch_sharding(mesh, time_leading=False)
+
+    def loss_fn(params, voxel_seq, gt):
+        recs, _ = cista_sequence(params, cfg, voxel_seq, remat=True)
+        return many_to_one_loss(recs[-1], gt, lpips_fn=lpips_fn)
+
+    def step(params, opt_state, data, gt_all, idx, key):
+        voxel_seq = jnp.moveaxis(
+            jnp.take(data, idx, axis=0), 1, 0
+        ).astype(jnp.float32)
+        gt = jnp.take(gt_all, idx, axis=0).astype(jnp.float32)
+        if noise_std > 0.0:
+            voxel_seq = voxel_seq + noise_std * jax.random.normal(
+                key, voxel_seq.shape, jnp.float32
+            )
+        voxel_seq = jax.lax.with_sharding_constraint(voxel_seq, seq_shard)
+        gt = jax.lax.with_sharding_constraint(gt, gt_shard)
+        loss, grads = jax.value_and_grad(loss_fn)(params, voxel_seq, gt)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, rep, rep, rep, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+
+
 def make_v2e2v_train_step(
     cfg,
     tx: optax.GradientTransformation,

@@ -152,11 +152,18 @@ def set_configs(parser: argparse.ArgumentParser) -> None:
                      "the reference keeps tails >= 5 groups, which is free "
                      "under eager torch)")
     tpu.add_argument("--num_workers", dest="num_workers", default=0, type=int,
-                     help="Fork worker processes for training-sample loading "
-                     "(the reference's DataLoader(num_workers=4) analog); "
-                     "0 = load in the main process (the safe default on "
-                     "few-core hosts — fork of a multithreaded JAX process "
-                     "is deadlock-prone)")
+                     help="Spawn worker processes for training-sample "
+                     "loading (the reference's DataLoader(num_workers=4) "
+                     "analog; persistent across epochs). 0 = load in the "
+                     "main process — the sensible default on few-core hosts")
+    tpu.add_argument("--device_data", dest="device_data",
+                     choices=["off", "f32", "bf16"], default="off",
+                     help="Upload the whole (uniform-shape) training set to "
+                     "device HBM once and gather batches on-device by index "
+                     "— the only recurring host->device transfer is the "
+                     "index array. Works around the tunneled platform's "
+                     "per-transfer host-RAM leak (see BENCH_NOTES.md); "
+                     "requires --drop_seq_tails. bf16 halves HBM")
     tpu.add_argument("--cache_samples", dest="cache_samples",
                      action="store_true",
                      help="Cache decoded/voxelized training samples in RAM "
