@@ -28,7 +28,9 @@ from v2e2v_tpu.models.cista import (
 )
 from v2e2v_tpu.ops.conv import (
     conv_layer,
+    conv_lstc_fuse,
     conv_lstc_step,
+    conv_lstc_step_fused,
     conv_lstm_step,
 )
 from v2e2v_tpu.ops.numerics import softshrink
@@ -40,7 +42,13 @@ def build(cfg, stage: str):
         if stage == "heads":
             return x1.astype(jnp.float32).sum(), state
 
-        z, cell = conv_lstc_step(params["P0"], x1, state.z, state.cell)
+        if cfg.lstc_impl == "fused":
+            z, cell = conv_lstc_step_fused(
+                params.get("_lstc_fused") or conv_lstc_fuse(params["P0"]),
+                x1, state.z, state.cell,
+            )
+        else:
+            z, cell = conv_lstc_step(params["P0"], x1, state.z, state.cell)
         if stage == "lstc":
             return z.astype(jnp.float32).sum(), state._replace(cell=cell)
 
@@ -78,6 +86,13 @@ def time_stage(cfg, params, batch, dtype, stage, steps=64, chain=4):
 
     @jax.jit
     def run(params, seq, state):
+        if cfg.lstc_impl == "fused":
+            params = {**params, "_lstc_fused": conv_lstc_fuse(params["P0"])}
+        if cfg.fullres_impl == "fused":
+            from v2e2v_tpu.ops.fused import precompute_fused_kernels
+
+            params = {**params, "_fullres_fused": precompute_fused_kernels(params)}
+
         def body(carry, ev):
             s, acc = carry
             val, s = step(params, ev, jnp.zeros_like(seq[0, :, :, :, :1]), s)
@@ -107,9 +122,10 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     dtype = jnp.bfloat16 if (len(sys.argv) < 3 or sys.argv[2] == "bf16") else jnp.float32
     fullres = sys.argv[3] if len(sys.argv) > 3 else "fused"
+    lstc = sys.argv[4] if len(sys.argv) > 4 else "fused"
     cfg = CistaConfig(
         image_dim=(180, 240), base_channels=64, depth=5, num_bins=5,
-        fullres_impl=fullres,
+        fullres_impl=fullres, lstc_impl=lstc,
     )
     params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
 

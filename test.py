@@ -85,10 +85,16 @@ class V2E2V:
         from v2e2v_tpu.ops.image import normalize_image_minmax_u8
         from v2e2v_tpu.utils.data_io import EventWriter, ImageWriter, make_event_preview
 
+        import jax
+
         for seq_id, path in enumerate(self.path_to_sequences):
             dataset_name = os.path.basename(path).split(".")[0]
             if self.test_data_name is not None and dataset_name != self.test_data_name:
                 continue
+            # distinct per-sequence key: the reference's global torch RNG
+            # advances across per-sequence resets (v2e_model.py:183-214), so
+            # each sequence draws fresh per-pixel thresholds/noise
+            seq_key = jax.random.fold_in(self._key, seq_id)
             self.video_renderer.initialize(path, self.num_load_frames)
             num_packs = (
                 int(np.floor(self.video_renderer.num_frames / (self.num_pack_frames - 1)))
@@ -101,6 +107,8 @@ class V2E2V:
 
             state = None  # fresh sequence -> emulator + recon state reset
             num_events = 0
+            sat_clipped = 0
+            sat_max_count = 0
             image_writer = ImageWriter(self.cfgs, self.model_name, dataset_name)
             event_writer = EventWriter(self.cfgs, self.model_name, dataset_name)
             display = None
@@ -121,8 +129,13 @@ class V2E2V:
                 ts_j = jnp.asarray(timestamps, jnp.float32)[None]
 
                 out, state = self._forward(
-                    self.params, self.cfg, frames_j, ts_j, state, key=self._key
+                    self.params, self.cfg, frames_j, ts_j, state, key=seq_key,
+                    with_stats=True,
                 )
+                clip_now = int(out.stats.clipped_pixels)
+                if clip_now:
+                    sat_clipped += clip_now
+                    sat_max_count = max(sat_max_count, int(out.stats.max_event_count))
                 pred = np.asarray(out.reconstruction[0, ..., 0])
                 image_writer(normalize_image_minmax_u8(pred), frame_idx + 1)
 
@@ -152,6 +165,13 @@ class V2E2V:
                     "Avg number of events per reconstruction: "
                     f"{num_events / num_packs:.1f}"
                 )
+            if sat_clipped:
+                print(
+                    f"warning: emulator saturated on {sat_clipped} "
+                    f"pixel-pairs (max per-pixel event count {sat_max_count} "
+                    f"> max_iters={self.cfg.emulator.max_iters}); raise "
+                    f"--v2e_max_iters to >= {sat_max_count}"
+                )
 
 
 if __name__ == "__main__":
@@ -164,5 +184,9 @@ if __name__ == "__main__":
     from v2e2v_tpu.utils.profiling import apply_platform_override
 
     apply_platform_override()
+
+    from v2e2v_tpu.parallel.distributed import initialize_from_flags
+
+    initialize_from_flags(cfgs)
 
     V2E2V(cfgs).run()

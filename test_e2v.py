@@ -221,4 +221,8 @@ if __name__ == "__main__":
 
     apply_platform_override()
 
+    from v2e2v_tpu.parallel.distributed import initialize_from_flags
+
+    initialize_from_flags(cfgs)
+
     Reconstructor(cfgs).run()

@@ -224,3 +224,35 @@ class TestReflectFastPath:
         xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
         want = conv(F.pad(xt, (1, 1, 1, 1), mode="reflect")).detach().numpy()
         np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 1)), atol=2e-5)
+
+
+def test_conv_lstc_fused_matches_ref_and_grads():
+    """The opt-in 2-conv ConvLSTC rewrite (conv_lstc_fuse) is exact vs the
+    3-conv cell, including gradients back to the stored conv params."""
+    from v2e2v_tpu.ops.conv import (
+        conv_lstc_fuse,
+        conv_lstc_init,
+        conv_lstc_step,
+        conv_lstc_step_fused,
+    )
+
+    p = conv_lstc_init(jax.random.PRNGKey(0), x_size=8, z_size=16, output_size=16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 18, 20, 8))
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 18, 20, 16))
+    c = jax.random.normal(jax.random.PRNGKey(3), (2, 18, 20, 16))
+
+    o1, c1 = conv_lstc_step(p, x, z, c)
+    o2, c2 = conv_lstc_step_fused(conv_lstc_fuse(p), x, z, c)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=2e-6)
+
+    g1 = jax.grad(lambda p: conv_lstc_step(p, x, z, c)[0].sum())(p)
+    g2 = jax.grad(
+        lambda p: conv_lstc_step_fused(conv_lstc_fuse(p), x, z, c)[0].sum()
+    )(p)
+    for k in g1:
+        for kk in g1[k]:
+            np.testing.assert_allclose(
+                np.asarray(g1[k][kk]), np.asarray(g2[k][kk]), atol=1e-4,
+                err_msg=f"{k}.{kk}",
+            )

@@ -172,7 +172,7 @@ def test_train_seq_data_drop_seq_tails(tmp_path):
 
 
 def test_iterate_batches_num_workers_matches_inline(synth_dir):
-    """Fork-worker loading yields bit-identical batches in the same order as
+    """Spawn-worker loading yields bit-identical batches in the same order as
     in-process loading (incl. per-sample-seeded --add_noise draws)."""
     import argparse
 

@@ -196,3 +196,74 @@ def test_lpips_architecture_vs_torch_transcription():
         )
     )
     assert zero == pytest.approx(0.0, abs=1e-6)
+
+
+# --- SSIM pinned against an independent skimage transcription --------------
+# skimage itself is not installed here; scipy (its actual filter backend) is.
+# This is a line-faithful transcription of skimage.metrics
+# .structural_similarity (gaussian_weights=False, use_sample_covariance=True
+# — the reference's call, /root/reference/utils/evaluate.py:31-42) built on
+# scipy.ndimage.uniform_filter, structurally independent of
+# utils/evaluate.py's integral-image formulation. Golden values are pinned
+# as constants so both implementations are anchored, not self-referential.
+
+def _skimage_ssim_transcription(im1, im2, win_size=7, data_range=1.0,
+                                K1=0.01, K2=0.03):
+    from scipy.ndimage import uniform_filter
+
+    im1 = im1.astype(np.float64)
+    im2 = im2.astype(np.float64)
+    NP = win_size ** im1.ndim
+    cov_norm = NP / (NP - 1)
+
+    def f(x):
+        return uniform_filter(x, size=win_size)
+
+    ux, uy = f(im1), f(im2)
+    uxx, uyy, uxy = f(im1 * im1), f(im2 * im2), f(im1 * im2)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    C1, C2 = (K1 * data_range) ** 2, (K2 * data_range) ** 2
+    S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
+        (ux**2 + uy**2 + C1) * (vx + vy + C2)
+    )
+    pad = (win_size - 1) // 2
+    return S[pad:-pad, pad:-pad].mean(dtype=np.float64)
+
+
+def _ssim_golden_cases():
+    rng = np.random.default_rng(42)
+    a = rng.uniform(0, 1, (48, 64))
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1)
+    x = np.linspace(0, 1, 64)[None, :] * np.ones((48, 1))
+    y = np.roll(x, 3, axis=1)
+    c = (rng.uniform(0, 1, (48, 64)) > 0.5).astype(np.float64)
+    e = rng.uniform(0.4, 0.6, (48, 64))
+    return {
+        "noisy": (a, b, 0.9473339155645001),
+        "gradient_shift": (x, y, 0.9288251198193362),
+        "binary_inverted": (c, 1.0 - c, -0.9541774811597215),
+        "low_contrast": (e, e * 0.9 + 0.05, 0.9952004656587551),
+    }
+
+
+def test_ssim_matches_skimage_transcription_and_goldens():
+    from v2e2v_tpu.utils.evaluate import ssim_single
+
+    for name, (p, q, golden) in _ssim_golden_cases().items():
+        ours = ssim_single(p, q)
+        transcribed = _skimage_ssim_transcription(p, q)
+        # the two independent formulations agree...
+        assert abs(ours - transcribed) < 1e-12, name
+        # ...and both match the pinned golden constant
+        assert abs(ours - golden) < 1e-10, (name, ours, golden)
+        assert abs(transcribed - golden) < 1e-10, (name, transcribed, golden)
+
+
+def test_ssim_identity_is_one():
+    from v2e2v_tpu.utils.evaluate import ssim_single
+
+    rng = np.random.default_rng(7)
+    a = rng.uniform(0, 1, (32, 40))
+    assert abs(ssim_single(a, a) - 1.0) < 1e-12

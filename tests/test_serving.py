@@ -79,3 +79,26 @@ def test_pool_capacity_enforced():
     pool.attach()
     with pytest.raises(RuntimeError, match="full"):
         pool.attach()
+
+
+def test_pool_supports_cista_tc():
+    """StreamPool routes through get_step_fn: a cista-tc pool must step and
+    match the direct cista_tc_step recurrence."""
+    from v2e2v_tpu.models.cista import cista_tc_step, init_cista_tc
+
+    cfg = CistaConfig(
+        image_dim=(H, W), base_channels=8, depth=2, num_bins=NB,
+        model_mode="cista-tc",
+    )
+    params = init_cista_tc(jax.random.PRNGKey(0), cfg)
+    pool = StreamPool(cfg, params, capacity=2, dtype=jnp.float32)
+    sid = pool.attach()
+
+    state = cista_zero_state(cfg, 1)
+    prev = jnp.zeros((1, H, W, 1))
+    for i in range(2):
+        vox = _vox(i)
+        out = pool.step({sid: vox})[sid]
+        rec, state = cista_tc_step(params, cfg, jnp.asarray(vox)[None], prev, state)
+        prev = rec
+        np.testing.assert_allclose(out, np.asarray(rec[0, ..., 0]), atol=1e-5)

@@ -159,3 +159,55 @@ def test_sequence_scan_grad_matches_unroll():
         ),
         g_scan, g_loop,
     )
+
+
+def test_sequence_with_stats_surfaces_saturation():
+    """with_stats returns per-pack saturation scalars; a tiny max_iters
+    must report clipped pixels and the PRE-clip max event count (the
+    reference's per-pixel loop is unbounded, ``v2e/v2e_model.py:449``)."""
+    from dataclasses import replace
+
+    from v2e2v_tpu.models.v2e2v import v2e2v_sequence
+
+    cfg = _cfg()
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg.cista)
+    t = 3
+    frames_seq = jnp.stack([_frames(seed=i) for i in range(t)], 0)
+    ts = jnp.linspace(0.0, 0.004 * (N - 1), N, dtype=jnp.float32)[None]
+    ts_seq = jnp.stack([ts + i * 0.004 * (N - 1) for i in range(t)], 0)
+    key = jax.random.PRNGKey(3)
+
+    recs, _, stats = v2e2v_sequence(
+        params, cfg, frames_seq, ts_seq, key, with_stats=True
+    )
+    assert set(stats) == {"num_events", "max_event_count", "clipped_pixels"}
+    assert stats["num_events"].shape == (t,)
+    assert int(stats["clipped_pixels"].sum()) == 0  # max_iters=32 is ample
+
+    # clip hard: max_iters=1 must flag pixels whose count exceeds the bound
+    cfg_clip = replace(cfg, emulator=replace(cfg.emulator, max_iters=1, unroll_iters=1))
+    _, _, stats_clip = v2e2v_sequence(
+        params, cfg_clip, frames_seq, ts_seq, key, with_stats=True
+    )
+    assert int(stats_clip["clipped_pixels"].sum()) > 0
+    assert int(stats_clip["max_event_count"].max()) > 1
+    # pre-clip max count is a property of the data, not of max_iters
+    assert int(stats_clip["max_event_count"].max()) == int(
+        stats["max_event_count"].max()
+    )
+
+
+def test_sequence_with_monitor_includes_stats_dict():
+    from v2e2v_tpu.models.v2e2v import v2e2v_sequence
+
+    cfg = _cfg()
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg.cista)
+    frames_seq = jnp.stack([_frames(seed=i) for i in range(2)], 0)
+    ts = jnp.linspace(0.0, 0.004 * (N - 1), N, dtype=jnp.float32)[None]
+    ts_seq = jnp.stack([ts + i * 0.004 * (N - 1) for i in range(2)], 0)
+
+    recs, _, (voxels, stats) = v2e2v_sequence(
+        params, cfg, frames_seq, ts_seq, jax.random.PRNGKey(5), with_monitor=True
+    )
+    assert voxels.shape == (2, 1, H, W, 5)
+    assert stats["num_events"].shape == (2,)

@@ -115,7 +115,13 @@ class Train:
                 self.cfg, self.tx, self.mesh, lpips_fn=self.lpips_fn
             )
 
-        self._save_checkpoint = save_checkpoint
+        # multi-host: only process 0 writes checkpoints (all processes
+        # hold replicated params; a shared filesystem would race)
+        def _gated_save(path, payload, _jax=jax):
+            if _jax.process_index() == 0:
+                save_checkpoint(path, payload)
+
+        self._save_checkpoint = _gated_save
 
     def _upload_dataset(self):
         """--device_data: one-time upload of the whole uniform-shape training
@@ -136,9 +142,15 @@ class Train:
         gbytes = data.nbytes * (0.5 if dtype == jnp.bfloat16 else 1.0) / 2**30
         print(f"uploading dataset to device: {data.shape} {cfgs.device_data} "
               f"({gbytes:.1f} GiB)")
-        # one f32 transfer (the one-time acceptable leak), then cast on device
-        data_dev = jnp.asarray(data).astype(dtype)
-        gt_dev = jnp.asarray(gt_all).astype(dtype)
+        # one f32 transfer (the one-time acceptable leak), then cast on device;
+        # sharded along the sample axis over the data mesh axis so per-device
+        # HBM is dataset/n_data (matches the train step's in_shardings)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ds_shard = NamedSharding(self.mesh, PartitionSpec("data"))
+        data_dev = jax.device_put(data, ds_shard).astype(dtype)
+        gt_dev = jax.device_put(gt_all, ds_shard).astype(dtype)
         data_dev.block_until_ready()
         return data_dev, gt_dev
 
@@ -154,6 +166,13 @@ class Train:
         bsz = cfgs.batch_size
         base_key = jax.random.PRNGKey(cfgs.seed + 17)
 
+        if n % bsz:
+            # jit needs a static batch shape, so the final partial batch is
+            # skipped — per-epoch reshuffling means samples are only skipped
+            # for that epoch, never permanently (reference DataLoader keeps
+            # the small tail; here that would cost a recompile per run)
+            print(f"note: dropping {n % bsz}-sample tail batch each epoch "
+                  f"(n={n}, batch_size={bsz})")
         step_idx = 0
         for epoch in range(cfgs.load_epoch_for_train, cfgs.epochs):
             lr = float(self.lr_for_epoch(epoch))
@@ -167,7 +186,11 @@ class Train:
             epoch_loss_sum = 0.0
             for start in range(0, n - bsz + 1, bsz):
                 idx = jnp.asarray(order[start : start + bsz].astype(np.int32))
-                key = jax.random.fold_in(base_key, step_idx)
+                # key from (epoch, batch-in-epoch): resume at epoch E continues
+                # the original run's noise stream instead of replaying epoch 0
+                key = jax.random.fold_in(
+                    jax.random.fold_in(base_key, epoch), n_batches
+                )
                 self.params, self.opt_state, loss = self.train_step(
                     self.params, self.opt_state, data_dev, gt_dev, idx, key
                 )
@@ -227,12 +250,17 @@ class Train:
             return np.moveaxis(seq_events, 1, 0), gt  # [T,B,H,W,nb]
 
         n_data = self.mesh.shape["data"]
+        dropped = {"batches": 0, "samples": 0}
 
         def shardable(it):
-            # drop tail batches the data axis can't divide (n_data > 1 only)
+            # drop tail batches the data axis can't divide (n_data > 1 only);
+            # counted and reported per epoch — never a silent loss
             for batch in it:
                 if batch[0].shape[0] % n_data == 0:
                     yield batch
+                else:
+                    dropped["batches"] += 1
+                    dropped["samples"] += batch[0].shape[0]
 
         step_idx = 0
         for epoch in range(cfgs.load_epoch_for_train, cfgs.epochs):
@@ -271,6 +299,14 @@ class Train:
                 f"epoch {epoch + 1} done in {time.time() - t_epoch:.1f}s, "
                 f"mean loss {mean_loss:.5f}"
             )
+            if dropped["batches"]:
+                print(
+                    f"warning: dropped {dropped['batches']} tail batch(es) "
+                    f"({dropped['samples']} samples) not divisible by the "
+                    f"data-mesh axis ({n_data}); use a divisible batch_size "
+                    "to avoid this"
+                )
+                dropped["batches"] = dropped["samples"] = 0
             logger.scalar("epoch_mean_loss", mean_loss, epoch)
             self._save_checkpoint(
                 os.path.join(self.path_to_model, f"{self.model_name}_{epoch + 1}"),
@@ -300,6 +336,10 @@ if __name__ == "__main__":
     )
 
     apply_platform_override()
+
+    from v2e2v_tpu.parallel.distributed import initialize_from_flags
+
+    initialize_from_flags(cfgs)
 
     if cfgs.debug_nans:
         enable_nan_debugging()

@@ -32,8 +32,10 @@ import jax.numpy as jnp
 from ..ops.conv import (
     conv_init,
     conv_layer,
+    conv_lstc_fuse,
     conv_lstc_init,
     conv_lstc_step,
+    conv_lstc_step_fused,
     conv_lstm_init,
     conv_lstm_step,
     upsample_conv_layer,
@@ -66,6 +68,12 @@ class CistaConfig:
     # rewrites in the half-res/parity domain, ops/fused.py; ~5 TFLOP/s ->
     # MXU-friendly) or 'ref' (reference-shaped two-stage convs)
     fullres_impl: str = "fused"
+    # ConvLSTC strategy: 'ref' (default) or 'fused' (exact 2-conv rewrite of
+    # the cell's 3 convs, ops/conv.py conv_lstc_fuse). MEASURED SLOWER on
+    # v5e bf16 b=8: 1.35 vs 0.94 ms — the cell's convs already run at ~76%
+    # of bf16 MXU peak, so the rewrite's +27% zero-block FLOPs outweigh the
+    # saved conv launch. Kept as the documented negative result.
+    lstc_impl: str = "ref"
 
 
 class CistaState(NamedTuple):
@@ -164,7 +172,9 @@ def _heads(
     if cfg.fullres_impl == "fused":
         from ..ops.fused import heads_fused
 
-        return heads_fused(params, events, prev_image)
+        return heads_fused(
+            params, events, prev_image, kernels=params.get("_fullres_fused")
+        )
     x_e = conv_layer(events, params["We"], padding=1)
     x_i = conv_layer(prev_image, params["Wi"], padding=1)
     x1 = jnp.concatenate([x_e, x_i], axis=-1)
@@ -182,10 +192,12 @@ def _upsample_final(
     if cfg.fullres_impl == "fused":
         from ..ops.fused import final_conv_parity, upsample_conv_parity
 
+        kernels = params.get("_fullres_fused")
         rec = upsample_conv_parity(
-            params["upsamp_conv"], rec, activation=upsamp_activation
+            params["upsamp_conv"], rec, activation=upsamp_activation,
+            kernels=kernels,
         )
-        return final_conv_parity(params["final_conv"], rec)
+        return final_conv_parity(params["final_conv"], rec, kernels=kernels)
     rec = upsample_conv_layer(
         rec, params["upsamp_conv"], activation=upsamp_activation,
         out_hw=cfg.image_dim,
@@ -223,7 +235,15 @@ def cista_lstc_step(
 
     # ConvLSTC consumes the previous step's sparse code and its own cell
     # (reference passes prev_states[-2] == z, prev_states[0] == cell, :68)
-    z, cell = conv_lstc_step(params["P0"], x1, state.z, state.cell)
+    if cfg.lstc_impl == "fused":
+        # "_lstc_fused" is injected by cista_sequence ahead of the scan so
+        # the kernel concat happens once per call, not once per scan step
+        fused = params.get("_lstc_fused")
+        if fused is None:
+            fused = conv_lstc_fuse(params["P0"])
+        z, cell = conv_lstc_step_fused(fused, x1, state.z, state.cell)
+    else:
+        z, cell = conv_lstc_step(params["P0"], x1, state.z, state.cell)
 
     lista = params["lista"]
     lam = lista["Lambda"]
@@ -331,6 +351,12 @@ def cista_sequence(
         prev_image = jnp.zeros(
             (b, cfg.image_dim[0], cfg.image_dim[1], 1), voxel_seq.dtype
         )
+    if cfg.model_mode == "cista-lstc" and cfg.lstc_impl == "fused":
+        params = {**params, "_lstc_fused": conv_lstc_fuse(params["P0"])}
+    if cfg.fullres_impl == "fused":
+        from ..ops.fused import precompute_fused_kernels
+
+        params = {**params, "_fullres_fused": precompute_fused_kernels(params)}
     step = get_step_fn(cfg)
     step_c = lambda p, ev, pi, st: step(p, cfg, ev, pi, st)  # noqa: E731
     if remat:

@@ -60,6 +60,8 @@ class V2E2VConfig:
             refractory_period_s=cfgs.refractory_period_s,
             leak_rate_hz=0.1,
             shot_noise_rate_hz=1.0,
+            max_iters=getattr(cfgs, "v2e_max_iters", 32),
+            unroll_iters=getattr(cfgs, "v2e_max_iters", 32),
         )
         return V2E2VConfig(cista=cista, emulator=emulator)
 
@@ -74,6 +76,7 @@ class V2E2VOutput(NamedTuple):
     reconstruction: jax.Array  # [B, H, W, 1]
     event_voxel_grids: jax.Array  # [B, H, W, num_bins] (monitoring)
     num_events: jax.Array  # scalar int
+    stats: Any = None  # EmulatorStats when with_stats (saturation diagnostics)
 
 
 def v2e2v_forward(
@@ -83,6 +86,7 @@ def v2e2v_forward(
     timestamps: jax.Array,
     state: V2E2VState | None,
     key: jax.Array | None = None,
+    with_stats: bool = False,
 ) -> tuple[V2E2VOutput, V2E2VState]:
     """One V2E2V step: a pack of frames -> one reconstruction.
 
@@ -92,13 +96,19 @@ def v2e2v_forward(
       state: previous state, or ``None`` at a sequence start (the reference's
         ``reset_v2e``; the caller compares sequence ids).
       key: PRNG key, required when ``state is None``.
+      with_stats: also return ``EmulatorStats`` in ``output.stats`` — exposes
+        the PRE-clip ``max_event_count`` so saturation of the emulator's
+        static ``max_iters`` bound (the reference's loop is unbounded,
+        ``v2e/v2e_model.py:449``) is detectable by callers.
     """
     b, _, h, w = frames.shape
     emu_state = state.emulator if state is not None else None
 
-    voxel, num_events, emu_state = emulate_pack(
-        cfg.emulator, emu_state, frames, timestamps, key=key
+    voxel, second, emu_state = emulate_pack(
+        cfg.emulator, emu_state, frames, timestamps, key=key, with_stats=with_stats
     )
+    stats = second if with_stats else None
+    num_events = second.num_events if with_stats else second
 
     if state is not None:
         prev_image, cista_state = state.prev_image, state.cista
@@ -109,7 +119,7 @@ def v2e2v_forward(
     rec, cista_state = cista_lstc_step(params, cfg.cista, voxel, prev_image, cista_state)
 
     new_state = V2E2VState(emulator=emu_state, cista=cista_state, prev_image=rec)
-    return V2E2VOutput(rec, voxel, num_events), new_state
+    return V2E2VOutput(rec, voxel, num_events, stats), new_state
 
 
 def v2e2v_init_state(
@@ -134,6 +144,7 @@ def v2e2v_sequence(
     key: jax.Array | None = None,
     state: V2E2VState | None = None,
     with_monitor: bool = False,
+    with_stats: bool = False,
     remat: bool = False,
 ):
     """Roll the composite over a BPTT window with one ``lax.scan``.
@@ -150,17 +161,25 @@ def v2e2v_sequence(
       with_monitor: also stack the per-pack voxel grids / event counts
         (the reference's ``event_voxel_grids`` / ``num_events`` monitoring
         fields) — costs ``[T, B, H, W, nb]`` of memory, debug only.
+      with_stats: also return per-pack emulator saturation scalars
+        (``{"num_events", "max_event_count", "clipped_pixels"}``, each
+        ``[T]``) — cheap (3 scalars/pack); lets training loops detect when
+        ``max_iters`` clips the reference's unbounded per-pixel event loop.
       remat: rematerialize each pack step on the backward pass (see
         ``cista_sequence``) — keeps BPTT memory O(T x carry) instead of
         O(T x all emulator/conv activations).
-    Returns ``(recs [T, B, H, W, 1], final_state)``; with monitoring,
-    ``(recs, final_state, (voxels [T,B,H,W,nb], num_events [T]))``.
+    Returns ``(recs [T, B, H, W, 1], final_state)``; with ``with_stats``,
+    ``(recs, final_state, stats_dict)``; with ``with_monitor``,
+    ``(recs, final_state, (voxels [T,B,H,W,nb], stats_dict))``.
     """
     if state is None:
         assert key is not None, "key required to initialize V2E2V state"
         state = v2e2v_init_state(cfg, frames_seq[0], ts_seq[0], key)
 
-    fwd = lambda p, frames, ts, st: v2e2v_forward(p, cfg, frames, ts, st)  # noqa: E731
+    collect = with_monitor or with_stats
+    fwd = lambda p, frames, ts, st: v2e2v_forward(  # noqa: E731
+        p, cfg, frames, ts, st, with_stats=collect
+    )
     if remat:
         fwd = jax.checkpoint(fwd)
 
@@ -168,11 +187,16 @@ def v2e2v_sequence(
         frames, ts = inp
         out, st = fwd(params, frames, ts, st)
         if with_monitor:
-            return st, (out.reconstruction, out.event_voxel_grids, out.num_events)
+            return st, (out.reconstruction, out.event_voxel_grids, out.stats)
+        if with_stats:
+            return st, (out.reconstruction, out.stats)
         return st, out.reconstruction
 
     state, ys = jax.lax.scan(body, state, (frames_seq, ts_seq))
     if with_monitor:
-        recs, voxels, nevs = ys
-        return recs, state, (voxels, nevs)
+        recs, voxels, stats = ys
+        return recs, state, (voxels, stats._asdict())
+    if with_stats:
+        recs, stats = ys
+        return recs, state, stats._asdict()
     return ys, state

@@ -319,6 +319,71 @@ def conv_lstc_step(
     return out, cell
 
 
+def conv_lstc_fuse(params: Params) -> Params:
+    """Precompute fused two-pass kernels for ``conv_lstc_step`` (exact).
+
+    The cell's three 3x3 convs all draw on ``x``/``z`` (``base_layers.py:
+    38-71``): ``gates`` on cat(x, z), ``P0`` on x, ``out_gates`` on
+    cat(z0, z). Reflect padding is per-channel and conv is linear, so:
+
+    - pass 1 = ONE conv over cat(x, z) emitting ``[gates | z0 | og_z]``
+      (P0's kernel zero-padded over the z channels; out_gates' z-half
+      zero-padded over the x channels) — x and z are each read once;
+    - pass 2 = conv over z0 with out_gates' z0-half, added to the
+      precomputed ``og_z`` partial (the cat(z0, z) buffer never exists).
+
+    ~27% more MXU FLOPs from the zero blocks for 3 convs + 2 concats ->
+    2 convs + 1 concat. MEASURED SLOWER on v5e (bf16 b=8 at 90x120: 1.35 ms
+    vs 0.94 ms for the 3-conv cell): these convs already sustain ~76% of
+    bf16 MXU peak, so the extra FLOPs cost more than the saved launch —
+    kept as an opt-in (``CistaConfig.lstc_impl='fused'``) negative result.
+    Gradients flow through the concat/pad back to the stored convs, so the
+    checkpoint format (gates/P0/out_gates) is unchanged.
+    """
+    wg = params["gates"]["weight"]  # [3,3, x+z, 2*out]
+    wp = params["P0"]["weight"]  # [3,3, x, out]
+    wo = params["out_gates"]["weight"]  # [3,3, z0+z, out]
+    x_ch = wp.shape[2]
+    cin = wg.shape[2]  # x + z
+    out = wp.shape[3]
+    z_ch = cin - x_ch
+
+    p0_blk = jnp.pad(wp, ((0, 0), (0, 0), (0, z_ch), (0, 0)))
+    og_z_blk = jnp.pad(wo[:, :, out:], ((0, 0), (0, 0), (x_ch, 0), (0, 0)))
+    w1 = jnp.concatenate([wg, p0_blk, og_z_blk], axis=3)
+    b1 = jnp.concatenate(
+        [
+            params["gates"]["bias"],
+            params["P0"]["bias"],
+            jnp.zeros((out,), params["P0"]["bias"].dtype),
+        ]
+    )
+    return {
+        "W1": {"weight": w1, "bias": b1},
+        "W2": {"weight": wo[:, :, :out], "bias": params["out_gates"]["bias"]},
+    }
+
+
+def conv_lstc_step_fused(
+    fused: Params,
+    x: jax.Array,
+    z: jax.Array,
+    prev_cell: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """``conv_lstc_step`` via the fused kernels from ``conv_lstc_fuse``."""
+    # output width from the (static) pass-2 kernel shape — ints must not
+    # live in the pytree (checkpoint/scan would trace them)
+    out = fused["W2"]["weight"].shape[3]
+    y1 = conv2d(jnp.concatenate([x, z], axis=-1), fused["W1"], padding=1)
+    in_g = jax.nn.sigmoid(y1[..., :out])
+    forget_g = jax.nn.sigmoid(y1[..., out : 2 * out])
+    z0 = y1[..., 2 * out : 3 * out]
+    og_partial = y1[..., 3 * out :]
+    out_g = jax.nn.sigmoid(conv2d(z0, fused["W2"], padding=1) + og_partial)
+    cell = forget_g * prev_cell + in_g * z0
+    return out_g * jnp.tanh(cell), cell
+
+
 # ---------------------------------------------------------------------------
 # torch checkpoint conversion helper
 # ---------------------------------------------------------------------------

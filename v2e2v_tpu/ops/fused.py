@@ -121,12 +121,29 @@ def _heads_two_stage(params: Params, x: jax.Array) -> jax.Array:
     return conv_layer(u, params["W0"], stride=2, padding=1)
 
 
-def heads_fused(params: Params, events: jax.Array, prev_image: jax.Array) -> jax.Array:
+def precompute_fused_kernels(params: Params) -> Params:
+    """Precompute all composed/parity kernels for one model-apply call.
+
+    The kernel compositions (weight-space einsums / tap folds) are
+    loop-invariant; computing them ONCE ahead of a ``lax.scan`` instead of
+    inside every step body keeps the trace small and does not rely on XLA's
+    while-loop LICM. Gradients flow through to the stored conv params.
+    """
+    return {
+        "heads": _composed_heads_kernel(params),
+        "upsamp": _upsample_parity_kernel(params["upsamp_conv"]),
+        "final": _final_parity_kernel(params["final_conv"]),
+    }
+
+
+def heads_fused(
+    params: Params, events: jax.Array, prev_image: jax.Array, kernels=None
+) -> jax.Array:
     """Exact replacement for the heads pipeline (``e2v_model.py:62-66``):
     composed 5x5 stride-2 conv for the interior + two-stage strips for the
     single border row/col of the half-res output."""
     x = jnp.concatenate([events, prev_image], axis=-1)
-    k5, b5 = _composed_heads_kernel(params)
+    k5, b5 = kernels["heads"] if kernels else _composed_heads_kernel(params)
 
     xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))  # borders overwritten
     y = _conv(xp, k5.astype(x.dtype), stride=(2, 2)) + b5.astype(x.dtype)
@@ -134,15 +151,23 @@ def heads_fused(params: Params, events: jax.Array, prev_image: jax.Array) -> jax
     # border strips (two-stage, exact): 6 input rows/cols -> 3 half-res
     # rows/cols of which the outer 1 is border-correct and rows 1..2 are
     # interior-agreeing; we take the outermost output row/col only.
-    top = _heads_two_stage(params, x[:, :6])[:, :1]
-    bot = _heads_two_stage(params, x[:, -6:])[:, -1:]
-    left = _heads_two_stage(params, x[:, :, :6])[:, :, :1]
-    right = _heads_two_stage(params, x[:, :, -6:])[:, :, -1:]
+    # top/bottom (left/right) share ONE batched call; overwrite via
+    # where-chains (fuse; .at[].set serializes — see _reflect1_conv3x3).
+    b = x.shape[0]
+    tb = _heads_two_stage(params, jnp.concatenate([x[:, :6], x[:, -6:]], axis=0))
+    top, bot = tb[:b, :1], tb[b:, -1:]
+    lr = _heads_two_stage(
+        params, jnp.concatenate([x[:, :, :6], x[:, :, -6:]], axis=0)
+    )
+    left, right = lr[:b, :, :1], lr[b:, :, -1:]
 
-    y = y.at[:, :1].set(top)
-    y = y.at[:, -1:].set(bot)
-    y = y.at[:, :, :1].set(left)
-    y = y.at[:, :, -1:].set(right)
+    h2, w2 = y.shape[1], y.shape[2]
+    ri = jnp.arange(h2)[:, None, None]
+    ci = jnp.arange(w2)[:, None]
+    y = jnp.where(ri == 0, top, y)
+    y = jnp.where(ri == h2 - 1, bot, y)
+    y = jnp.where(ci == 0, left, y)
+    y = jnp.where(ci == w2 - 1, right, y)
     return y
 
 
@@ -176,7 +201,7 @@ def _upsample_parity_kernel(params: Params):
 
 
 def upsample_conv_parity(
-    params: Params, h: jax.Array, activation: str | None = None
+    params: Params, h: jax.Array, activation: str | None = None, kernels=None
 ) -> jax.Array:
     """Exact ``upsample_conv_layer`` emitting parity-PACKED output
     ``[B, H/2, W/2, 4C]`` (the full-res map never materializes).
@@ -186,29 +211,36 @@ def upsample_conv_parity(
     """
     from .conv import _ACTIVATIONS, upsample_conv_layer
 
-    kk, bb = _upsample_parity_kernel(params)
+    kk, bb = kernels["upsamp"] if kernels else _upsample_parity_kernel(params)
     hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))  # borders overwritten
     y = _conv(hp, kk.astype(h.dtype)) + bb.astype(h.dtype)
 
-    hh, wh = h.shape[1], h.shape[2]
-    # slices: original op, exact within the outermost output block
-    top = space_to_depth(
-        upsample_conv_layer(h[:, :4], params, out_hw=(8, 2 * h.shape[2]))[:, :2]
+    b, hh, wh = h.shape[0], h.shape[1], h.shape[2]
+    # border slices: original op, exact within the outermost output block.
+    # top/bottom (and left/right) batch into ONE call each — half the
+    # resize/pad/conv launches vs four separate strip calls
+    tb = upsample_conv_layer(
+        jnp.concatenate([h[:, :4], h[:, -4:]], axis=0), params,
+        out_hw=(8, 2 * wh),
     )
-    bot = space_to_depth(
-        upsample_conv_layer(h[:, -4:], params, out_hw=(8, 2 * h.shape[2]))[:, -2:]
+    top = space_to_depth(tb[:b, :2])
+    bot = space_to_depth(tb[b:, -2:])
+    lr = upsample_conv_layer(
+        jnp.concatenate([h[:, :, :4], h[:, :, -4:]], axis=0), params,
+        out_hw=(2 * hh, 8),
     )
-    left = space_to_depth(
-        upsample_conv_layer(h[:, :, :4], params, out_hw=(2 * hh, 8))[:, :, :2]
-    )
-    right = space_to_depth(
-        upsample_conv_layer(h[:, :, -4:], params, out_hw=(2 * hh, 8))[:, :, -2:]
-    )
+    left = space_to_depth(lr[:b, :, :2])
+    right = space_to_depth(lr[b:, :, -2:])
 
-    y = y.at[:, :1].set(top)
-    y = y.at[:, -1:].set(bot)
-    y = y.at[:, :, :1].set(left)
-    y = y.at[:, :, -1:].set(right)
+    # overwrite via where-chains (fuse into one elementwise pass; .at[].set
+    # lowered to serialized dynamic-update-slices — measured slower, see
+    # _reflect1_conv3x3). Order matters: corners belong to left/right.
+    ri = jnp.arange(hh)[:, None, None]
+    ci = jnp.arange(wh)[:, None]
+    y = jnp.where(ri == 0, top, y)
+    y = jnp.where(ri == hh - 1, bot, y)
+    y = jnp.where(ci == 0, left, y)
+    y = jnp.where(ci == wh - 1, right, y)
     return _ACTIVATIONS[activation](y)
 
 
@@ -278,10 +310,10 @@ def _reflect_pad_parity(y: jax.Array) -> jax.Array:
     )
 
 
-def final_conv_parity(params: Params, y_parity: jax.Array) -> jax.Array:
+def final_conv_parity(params: Params, y_parity: jax.Array, kernels=None) -> jax.Array:
     """Exact full-res reflect conv3x3 applied to a parity-packed input;
     returns the FULL-RES result (depth-to-space applied)."""
-    kk, bb = _final_parity_kernel(params)
+    kk, bb = kernels["final"] if kernels else _final_parity_kernel(params)
     yp = _reflect_pad_parity(y_parity)
     out = _conv(yp, kk.astype(y_parity.dtype)) + bb.astype(y_parity.dtype)
     return depth_to_space(out)

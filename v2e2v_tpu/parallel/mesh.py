@@ -116,6 +116,10 @@ def make_e2v_train_step_device_data(
     rep = replicated(mesh)
     seq_shard = batch_sharding(mesh, time_leading=True)
     gt_shard = batch_sharding(mesh, time_leading=False)
+    # the device-resident dataset shards along the SAMPLE axis over the data
+    # mesh axis (HBM cost per device = dataset/n_data, not the full dataset);
+    # the gather-by-replicated-idx below crosses shards via XLA collectives
+    ds_shard = NamedSharding(mesh, P("data"))
 
     def loss_fn(params, voxel_seq, gt):
         recs, _ = cista_sequence(params, cfg, voxel_seq, remat=True)
@@ -139,8 +143,73 @@ def make_e2v_train_step_device_data(
 
     return jax.jit(
         step,
-        in_shardings=(rep, rep, rep, rep, rep, rep),
+        in_shardings=(rep, rep, ds_shard, ds_shard, rep, rep),
         out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+
+
+def make_v2e2v_train_step_device_data(
+    cfg,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    lpips_fn=None,
+    clamp: tuple[float, float] = (1e-7, 1.0 - 1e-7),
+):
+    """V2E2V training step over a DEVICE-RESIDENT dataset.
+
+    Same motivation as ``make_e2v_train_step_device_data`` (the platform's
+    per-transfer host-RAM leak): the whole uniform-shape training set
+    uploads ONCE as ``frames_u8 [S, T, N, H, W] uint8`` (8x smaller than
+    the f32 per-batch transfers) + ``ts_all [S, T, N] float32``, sharded
+    along the sample axis; per step only ``idx [B]`` and a key transfer.
+    Ground truth is derived on-device (last frame / 255, exactly
+    ``TrainSeqData._emit``), so no separate gt upload exists.
+
+    Step signature: ``(params, opt_state, frames_u8, ts_all, idx, key) ->
+    (params, opt_state, loss, stats)`` with the same ``stats`` dict as
+    ``make_v2e2v_train_step``.
+    """
+    from ..models.v2e2v import v2e2v_sequence
+    from ..training.losses import many_to_one_loss
+
+    rep = replicated(mesh)
+    ds_shard = NamedSharding(mesh, P("data"))
+    frames_shard = NamedSharding(mesh, P(None, "data", None, None, None))
+    ts_shard = NamedSharding(mesh, P(None, "data", None))
+
+    def loss_fn(params, frames_seq, ts_seq, gt, key):
+        recs, _, st = v2e2v_sequence(
+            params, cfg, frames_seq, ts_seq, key, with_stats=True, remat=True
+        )
+        rec = jnp.clip(recs[-1], clamp[0], clamp[1])
+        loss = many_to_one_loss(rec, gt, lpips_fn=lpips_fn)
+        aux = {
+            "num_events": jnp.sum(st["num_events"]),
+            "max_event_count": jnp.max(st["max_event_count"]),
+            "clipped_pixels": jnp.sum(st["clipped_pixels"]),
+        }
+        return loss, aux
+
+    def step(params, opt_state, frames_u8, ts_all, idx, key):
+        frames_seq = jnp.moveaxis(
+            jnp.take(frames_u8, idx, axis=0), 1, 0
+        ).astype(jnp.float32)  # [T, B, N, H, W]
+        ts_seq = jnp.moveaxis(jnp.take(ts_all, idx, axis=0), 1, 0)
+        gt = frames_seq[-1][:, -1, :, :, None] / 255.0  # TrainSeqData._emit
+        frames_seq = jax.lax.with_sharding_constraint(frames_seq, frames_shard)
+        ts_seq = jax.lax.with_sharding_constraint(ts_seq, ts_shard)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, frames_seq, ts_seq, gt, key
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, ds_shard, ds_shard, rep, rep),
+        out_shardings=(rep, rep, rep, rep),
         donate_argnums=(0, 1),
     )
 
@@ -164,9 +233,14 @@ def make_v2e2v_train_step(
     dominate).
 
     Step signature: ``(params, opt_state, frames_seq [T,B,N,H,W],
-    ts_seq [T,B,N], gt [B,H,W,1], key) -> (params, opt_state, loss)``;
-    with ``monitor=True`` an extra dict ``{rec, voxel, num_events}`` (last
-    pack, host-gathered) is appended — feeds the ``--display_train`` panels.
+    ts_seq [T,B,N], gt [B,H,W,1], key) -> (params, opt_state, loss, stats)``.
+    ``stats`` is a dict of window-level emulator scalars —
+    ``num_events`` (sum), ``max_event_count`` (max, PRE-clip) and
+    ``clipped_pixels`` (sum) — so callers can detect when ``cfg.emulator
+    .max_iters`` statically clips the reference's unbounded per-pixel event
+    loop (``v2e/v2e_model.py:449``) instead of silently under-emitting.
+    With ``monitor=True`` the dict additionally carries ``{rec, voxel}``
+    (last pack) — feeds the ``--display_train`` panels.
     """
     from ..models.v2e2v import v2e2v_sequence
     from ..training.losses import many_to_one_loss
@@ -178,20 +252,22 @@ def make_v2e2v_train_step(
 
     def loss_fn(params, frames_seq, ts_seq, gt, key):
         if monitor:
-            recs, _, (voxels, nevs) = v2e2v_sequence(
+            recs, _, (voxels, st) = v2e2v_sequence(
                 params, cfg, frames_seq, ts_seq, key, with_monitor=True, remat=True
             )
         else:
-            recs, _ = v2e2v_sequence(
-                params, cfg, frames_seq, ts_seq, key, remat=True
+            recs, _, st = v2e2v_sequence(
+                params, cfg, frames_seq, ts_seq, key, with_stats=True, remat=True
             )
         rec = jnp.clip(recs[-1], clamp[0], clamp[1])
         loss = many_to_one_loss(rec, gt, lpips_fn=lpips_fn)
-        aux = (
-            {"rec": rec, "voxel": voxels[-1], "num_events": nevs[-1]}
-            if monitor
-            else None
-        )
+        aux = {
+            "num_events": jnp.sum(st["num_events"]),
+            "max_event_count": jnp.max(st["max_event_count"]),
+            "clipped_pixels": jnp.sum(st["clipped_pixels"]),
+        }
+        if monitor:
+            aux.update({"rec": rec, "voxel": voxels[-1]})
         return loss, aux
 
     def step(params, opt_state, frames_seq, ts_seq, gt, key):
@@ -200,14 +276,11 @@ def make_v2e2v_train_step(
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        if monitor:
-            return params, opt_state, loss, aux
-        return params, opt_state, loss
+        return params, opt_state, loss, aux
 
-    out_shardings = (rep, rep, rep, rep) if monitor else (rep, rep, rep)
     return jax.jit(
         step,
         in_shardings=(rep, rep, frames_shard, ts_shard, gt_shard, rep),
-        out_shardings=out_shardings,
+        out_shardings=(rep, rep, rep, rep),
         donate_argnums=(0, 1),
     )

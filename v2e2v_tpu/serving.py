@@ -24,15 +24,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models.cista import CistaConfig, cista_lstc_step, cista_zero_state
+from .models.cista import CistaConfig, cista_zero_state, get_step_fn
 
 
 # prev_images is NOT donated: fetch=False hands out views of it and a
 # donated buffer would invalidate them on the next step
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 4))
 def _pool_step(params, cfg, states, prev_images, voxels, active):
-    """Step all slots; inactive slots keep their state (masked update)."""
-    recs, new_states = cista_lstc_step(params, cfg, voxels, prev_images, states)
+    """Step all slots; inactive slots keep their state (masked update).
+
+    ``cfg.model_mode`` selects cista-lstc or cista-tc (resolved at trace
+    time — cfg is static)."""
+    recs, new_states = get_step_fn(cfg)(params, cfg, voxels, prev_images, states)
     mask = active[:, None, None, None]
     recs = jnp.where(mask, recs, prev_images)
     new_states = jax.tree_util.tree_map(

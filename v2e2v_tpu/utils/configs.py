@@ -164,6 +164,20 @@ def set_configs(parser: argparse.ArgumentParser) -> None:
                      "index array. Works around the tunneled platform's "
                      "per-transfer host-RAM leak (see BENCH_NOTES.md); "
                      "requires --drop_seq_tails. bf16 halves HBM")
+    tpu.add_argument("--dist_coordinator", default=None, type=str,
+                     help="host:port of the jax.distributed coordination "
+                     "service; set on every process of a multi-host run "
+                     "(with --dist_num_processes/--dist_process_id). Unset "
+                     "= single-process. Env equivalents: V2E2V_COORDINATOR/"
+                     "V2E2V_NUM_PROCESSES/V2E2V_PROCESS_ID; or "
+                     "V2E2V_DIST_AUTO=1 for cluster auto-detection")
+    tpu.add_argument("--dist_num_processes", default=None, type=int)
+    tpu.add_argument("--dist_process_id", default=None, type=int)
+    tpu.add_argument("--v2e_max_iters", default=32, type=int,
+                     help="Static bound on per-pixel events per frame pair "
+                     "in the emulator (the reference's loop is unbounded, "
+                     "v2e/v2e_model.py:449). Training/eval report when "
+                     "saturation clips event counts; raise this to match")
     tpu.add_argument("--cache_samples", dest="cache_samples",
                      action="store_true",
                      help="Cache decoded/voxelized training samples in RAM "
