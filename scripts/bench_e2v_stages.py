@@ -72,6 +72,17 @@ def build(cfg, stage: str):
                 cell=cell, z=z, dg=dg_state
             )
 
+        if stage == "up":  # upsample WITHOUT the final C->1 conv
+            from v2e2v_tpu.ops.fused import upsample_conv_parity
+
+            up = upsample_conv_parity(
+                params["upsamp_conv"], rec, activation="relu",
+                kernels=params.get("_fullres_fused"),
+            )
+            return up.astype(jnp.float32).sum(), state._replace(
+                cell=cell, z=z, dg=dg_state
+            )
+
         rec = _upsample_final(params, cfg, rec, upsamp_activation="relu")
         rec = jax.nn.sigmoid(rec)
         return rec.astype(jnp.float32).sum(), state._replace(
@@ -130,7 +141,7 @@ def main():
     params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
 
     prev = 0.0
-    for stage in ("heads", "lstc", "ista", "dg", "full"):
+    for stage in ("heads", "lstc", "ista", "dg", "up", "full"):
         ms = time_stage(cfg, params, batch, dtype, stage)
         print(
             f"{stage:>7}: {ms:7.3f} ms/step (+{ms - prev:6.3f})  "

@@ -138,6 +138,10 @@ def main():
     ap.add_argument("--fps", type=float, default=1000.0)
     ap.add_argument("--contrast", type=float, default=0.25)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--start_index", type=int, default=1,
+                    help="First sequence number (lets a second run extend an "
+                    "existing set without id collisions; combine via "
+                    "symlinks + manifest concat)")
     args = ap.parse_args()
 
     h, w = args.image_dim
@@ -145,7 +149,7 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
 
     e2v_lines, v2e2v_lines = [], []
-    for s in range(1, args.num_sequences + 1):
+    for s in range(args.start_index, args.start_index + args.num_sequences):
         frames = render_video(rng, args.num_frames, h, w)
         timestamps = np.arange(args.num_frames) / args.fps
         windows = ideal_dvs_events(frames, timestamps, c=args.contrast)

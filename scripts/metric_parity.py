@@ -63,12 +63,16 @@ def make_data(work_dir: str, h: int, w: int):
 
 
 def train(train_dir: str, ckpt_path: str, epochs: int, h: int, w: int, ch: int,
-          depth: int, num_events: int):
+          depth: int, num_events: int, model_mode: str = "cista-lstc"):
     import jax
     import optax
 
     from v2e2v_tpu.data.datasets import TrainFixNEventData, iterate_batches
-    from v2e2v_tpu.models.cista import CistaConfig, init_cista_lstc
+    from v2e2v_tpu.models.cista import (
+        CistaConfig,
+        init_cista_lstc,
+        init_cista_tc,
+    )
     from v2e2v_tpu.parallel.mesh import make_e2v_train_step, make_mesh
     from v2e2v_tpu.utils.checkpoint import save_checkpoint
     from v2e2v_tpu.utils.configs import set_configs
@@ -80,8 +84,10 @@ def train(train_dir: str, ckpt_path: str, epochs: int, h: int, w: int, ch: int,
          "--num_events", str(num_events), "--len_sequence", "3",
          "--base_channels", str(ch), "--depth", str(depth)]
     )
-    cfg = CistaConfig(image_dim=(h, w), base_channels=ch, depth=depth, num_bins=5)
-    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    cfg = CistaConfig(image_dim=(h, w), base_channels=ch, depth=depth,
+                      num_bins=5, model_mode=model_mode)
+    init_fn = init_cista_lstc if model_mode == "cista-lstc" else init_cista_tc
+    params = init_fn(jax.random.PRNGKey(0), cfg)
     tx = optax.adam(3e-4)
     opt_state = tx.init(params)
     step = make_e2v_train_step(cfg, tx, make_mesh(1, 1))
@@ -103,13 +109,15 @@ def train(train_dir: str, ckpt_path: str, epochs: int, h: int, w: int, ch: int,
 
 
 def run_our_cli(test_dir: str, ckpt_path: str, out_dir: str, h: int, w: int,
-                ch: int, depth: int, num_events: int):
+                ch: int, depth: int, num_events: int,
+                model_mode: str = "cista-lstc"):
     env = dict(os.environ, V2E2V_PLATFORM="cpu")
     subprocess.run(
         [
             sys.executable, os.path.join(REPO, "test_e2v.py"),
             "--path_to_test_data", test_dir,
             "--path_to_test_model", ckpt_path,
+            "--model_mode", model_mode,
             "--image_dim", str(h), str(w),
             "--base_channels", str(ch), "--depth", str(depth),
             "--num_events", str(num_events),
@@ -168,9 +176,14 @@ def _install_ref_stubs():
 
 
 def run_reference(test_dir: str, params, h: int, w: int, ch: int, depth: int,
-                  num_events: int):
+                  num_events: int, model_mode: str = "cista-lstc"):
     """Drive the genuine reference model + reader + normalization + metrics
-    (loop semantics of reference ``test_e2v.py:87-144``, CPU)."""
+    (loop semantics of reference ``test_e2v.py:87-144``, CPU).
+
+    For ``cista-tc`` the reference CLI path is broken as shipped (its ctor
+    takes no ``image_dim`` yet ``test_e2v.py:58`` passes one — SURVEY.md C2);
+    the genuine ``CistaTCNet`` module itself constructs and runs fine, so the
+    comparison drives it directly with the reference loop semantics."""
     import cv2
     import torch
 
@@ -178,7 +191,7 @@ def run_reference(test_dir: str, params, h: int, w: int, ch: int, depth: int,
     if REF not in sys.path:
         sys.path.insert(0, REF)
     from data_readers.video_readers import ImageReader as RefImageReader
-    from e2v.e2v_model import CistaLSTCNet
+    from e2v.e2v_model import CistaLSTCNet, CistaTCNet
     from utils.evaluate import mse as ref_mse
     from utils.evaluate import psnr as ref_psnr
     from utils.image_process import normalize_image as ref_normalize_image
@@ -186,10 +199,14 @@ def run_reference(test_dir: str, params, h: int, w: int, ch: int, depth: int,
     from v2e2v_tpu.utils.checkpoint import export_torch_state_dict
     from v2e2v_tpu.utils.evaluate import ssim as shared_ssim
 
-    net = CistaLSTCNet(image_dim=(h, w), base_channels=ch, depth=depth, num_bins=5)
+    if model_mode == "cista-lstc":
+        net = CistaLSTCNet(image_dim=(h, w), base_channels=ch, depth=depth,
+                           num_bins=5)
+    else:
+        net = CistaTCNet(base_channels=ch, depth=depth, num_bins=5)
     sd = {
         k: torch.from_numpy(np.ascontiguousarray(v))
-        for k, v in export_torch_state_dict(params, "cista-lstc", depth=depth).items()
+        for k, v in export_torch_state_dict(params, model_mode, depth=depth).items()
     }
     net.load_state_dict(sd, strict=True)
     net.eval()
@@ -245,6 +262,8 @@ def main():
     ap.add_argument("--base_channels", type=int, default=16)
     ap.add_argument("--depth", type=int, default=5)
     ap.add_argument("--num_events", type=int, default=600)
+    ap.add_argument("--model_mode", default="cista-lstc",
+                    choices=["cista-lstc", "cista-tc"])
     ap.add_argument("--report", default=os.path.join(REPO, "PARITY_RUN.md"))
     ap.add_argument("--ckpt", default=None,
                     help="Existing orbax checkpoint — skip data-gen/training "
@@ -268,20 +287,23 @@ def main():
         ckpt = os.path.join(args.work_dir, "parity_ckpt")
         params = train(
             train_dir, ckpt, args.epochs, h, w, args.base_channels, args.depth,
-            args.num_events,
+            args.num_events, model_mode=args.model_mode,
         )
     ours = run_our_cli(
         test_dir, ckpt, os.path.join(args.work_dir, "out"), h, w,
         args.base_channels, args.depth, args.num_events,
+        model_mode=args.model_mode,
     )
     theirs = run_reference(
-        test_dir, params, h, w, args.base_channels, args.depth, args.num_events
+        test_dir, params, h, w, args.base_channels, args.depth,
+        args.num_events, model_mode=args.model_mode,
     )
 
     lines = [
         "# End-to-end metric parity run",
         "",
-        f"Config: CISTA-LSTC {h}x{w}, {args.base_channels}ch, depth {args.depth}, "
+        f"Config: {args.model_mode.upper()} {h}x{w}, "
+        f"{args.base_channels}ch, depth {args.depth}, "
         + (f"checkpoint `{os.path.basename(args.ckpt)}`, "
            if args.ckpt else
            f"trained {args.epochs} epochs on synthetic data (seed-pinned), ")
