@@ -73,7 +73,7 @@ def build(cfg, stage: str):
             )
 
         if stage == "up":  # upsample WITHOUT the final C->1 conv
-            from v2e2v_tpu.ops.fused import upsample_conv_parity
+            from v2e2v_tpu.ops.fused import upsample_conv_parity_edgek as upsample_conv_parity
 
             up = upsample_conv_parity(
                 params["upsamp_conv"], rec, activation="relu",

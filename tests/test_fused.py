@@ -111,3 +111,96 @@ def test_fused_decoder_chain_grads_match():
         ),
         g_ref, g_fus,
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3: analytic border kernels vs the strip-based fixup paths (which the
+# tests above pin against the reference-faithful ops)
+# ---------------------------------------------------------------------------
+
+from v2e2v_tpu.ops.fused import (  # noqa: E402
+    final_conv_parity_edgek,
+    heads_fused_edgek,
+    precompute_fused_kernels,
+    upsample_conv_parity_edgek,
+)
+
+
+@pytest.mark.parametrize("hw", [(12, 16), (20, 28), (90, 120)])
+def test_upsample_parity_edgek_exact(hw):
+    h, w = hw
+    params = {
+        "weight": jnp.asarray(
+            np.random.default_rng(2).normal(size=(3, 3, 8, 8)).astype(np.float32)
+        )
+        * 0.2,
+        "bias": jnp.asarray(
+            np.random.default_rng(3).normal(size=(8,)).astype(np.float32)
+        ),
+    }
+    x = jnp.asarray(
+        np.random.default_rng(4).normal(size=(2, h, w, 8)).astype(np.float32)
+    )
+    ref = upsample_conv_parity(params, x, activation="relu")
+    got = upsample_conv_parity_edgek(params, x, activation="relu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("hw", [(6, 8), (45, 60)])
+def test_final_parity_edgek_exact(hw):
+    h, w = hw
+    params = {
+        "weight": jnp.asarray(
+            np.random.default_rng(5).normal(size=(3, 3, 8, 1)).astype(np.float32)
+        )
+        * 0.2,
+        "bias": jnp.asarray(
+            np.random.default_rng(6).normal(size=(1,)).astype(np.float32)
+        ),
+    }
+    y = jnp.asarray(
+        np.random.default_rng(7).normal(size=(2, h, w, 32)).astype(np.float32)
+    )
+    ref = final_conv_parity(params, y)
+    got = final_conv_parity_edgek(params, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("hw", [(12, 16), (90, 120)])
+def test_heads_edgek_exact(hw):
+    h, w = hw
+    cfg = CistaConfig(image_dim=(h, w), base_channels=16, depth=2, num_bins=5)
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(8)
+    ev = jnp.asarray(rng.normal(size=(2, h, w, 5)).astype(np.float32))
+    img = jnp.asarray(rng.normal(size=(2, h, w, 1)).astype(np.float32))
+    ref = _heads_ref(params, ev, img)
+    got = heads_fused_edgek(params, ev, img)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_edgek_with_precomputed_kernels():
+    cfg = CistaConfig(image_dim=(20, 24), base_channels=16, depth=2, num_bins=5)
+    params = init_cista_lstc(jax.random.PRNGKey(1), cfg)
+    kernels = precompute_fused_kernels(params)
+    rng = np.random.default_rng(9)
+    ev = jnp.asarray(rng.normal(size=(1, 20, 24, 5)).astype(np.float32))
+    img = jnp.asarray(rng.normal(size=(1, 20, 24, 1)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(heads_fused_edgek(params, ev, img, kernels=kernels)),
+        np.asarray(_heads_ref(params, ev, img)),
+        atol=2e-5,
+    )
+    h = jnp.asarray(rng.normal(size=(1, 10, 12, 16)).astype(np.float32))
+    ref = final_conv_parity(
+        params["final_conv"],
+        upsample_conv_parity(params["upsamp_conv"], h, activation="relu"),
+    )
+    got = final_conv_parity_edgek(
+        params["final_conv"],
+        upsample_conv_parity_edgek(
+            params["upsamp_conv"], h, activation="relu", kernels=kernels
+        ),
+        kernels=kernels,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

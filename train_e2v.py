@@ -142,15 +142,22 @@ class Train:
         gbytes = data.nbytes * (0.5 if dtype == jnp.bfloat16 else 1.0) / 2**30
         print(f"uploading dataset to device: {data.shape} {cfgs.device_data} "
               f"({gbytes:.1f} GiB)")
-        # one f32 transfer (the one-time acceptable leak), then cast on device;
-        # sharded along the sample axis over the data mesh axis so per-device
-        # HBM is dataset/n_data (matches the train step's in_shardings)
+        # bf16 casts on HOST (ml_dtypes) so only the final bytes transfer —
+        # a 1000-sequence set is 13 GiB f32 but 6.5 GiB bf16, and an
+        # upload-then-cast would need both resident in HBM at once.
+        # Sharded along the sample axis over the data mesh axis so
+        # per-device HBM is dataset/n_data (matches the step in_shardings).
         import jax
         from jax.sharding import NamedSharding, PartitionSpec
 
+        if dtype == jnp.bfloat16:
+            import ml_dtypes
+
+            data = data.astype(ml_dtypes.bfloat16)
+            gt_all = gt_all.astype(ml_dtypes.bfloat16)
         ds_shard = NamedSharding(self.mesh, PartitionSpec("data"))
-        data_dev = jax.device_put(data, ds_shard).astype(dtype)
-        gt_dev = jax.device_put(gt_all, ds_shard).astype(dtype)
+        data_dev = jax.device_put(data, ds_shard)
+        gt_dev = jax.device_put(gt_all, ds_shard)
         data_dev.block_until_ready()
         return data_dev, gt_dev
 

@@ -170,9 +170,9 @@ def _heads(
     never exists and the MXU sees one decently-shaped contraction.
     """
     if cfg.fullres_impl == "fused":
-        from ..ops.fused import heads_fused
+        from ..ops.fused import heads_fused_edgek
 
-        return heads_fused(
+        return heads_fused_edgek(
             params, events, prev_image, kernels=params.get("_fullres_fused")
         )
     x_e = conv_layer(events, params["We"], padding=1)
@@ -190,14 +190,17 @@ def _upsample_final(
     """Bilinear-upsample conv -> final conv (both exact in the parity domain
     on the 'fused' path: the full-res 64-channel map never hits HBM)."""
     if cfg.fullres_impl == "fused":
-        from ..ops.fused import final_conv_parity, upsample_conv_parity
+        from ..ops.fused import (
+            final_conv_parity_edgek,
+            upsample_conv_parity_edgek,
+        )
 
         kernels = params.get("_fullres_fused")
-        rec = upsample_conv_parity(
+        rec = upsample_conv_parity_edgek(
             params["upsamp_conv"], rec, activation=upsamp_activation,
             kernels=kernels,
         )
-        return final_conv_parity(params["final_conv"], rec, kernels=kernels)
+        return final_conv_parity_edgek(params["final_conv"], rec, kernels=kernels)
     rec = upsample_conv_layer(
         rec, params["upsamp_conv"], activation=upsamp_activation,
         out_hw=cfg.image_dim,

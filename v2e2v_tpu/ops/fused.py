@@ -64,12 +64,12 @@ def depth_to_space(x: jax.Array) -> jax.Array:
     return x.reshape(b, 2 * k, 2 * l, c)
 
 
-def _conv(x, w, stride=(1, 1), out_dtype=None):
+def _conv(x, w, stride=(1, 1), out_dtype=None, padding="VALID"):
     y = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=stride,
-        padding="VALID",
+        padding=padding,
         dimension_numbers=_DN,
         preferred_element_type=jnp.float32,
     )
@@ -129,10 +129,14 @@ def precompute_fused_kernels(params: Params) -> Params:
     inside every step body keeps the trace small and does not rely on XLA's
     while-loop LICM. Gradients flow through to the stored conv params.
     """
+    final = _final_parity_kernel(params["final_conv"])
     return {
         "heads": _composed_heads_kernel(params),
+        "heads_borders": _heads_border_kernels(params),
         "upsamp": _upsample_parity_kernel(params["upsamp_conv"]),
-        "final": _final_parity_kernel(params["final_conv"]),
+        "upsamp_borders": _up_border_kernels(params["upsamp_conv"]),
+        "final": final,
+        "final_borders": _final_border_kernels(params["final_conv"], parity=final),
     }
 
 
@@ -317,3 +321,327 @@ def final_conv_parity(params: Params, y_parity: jax.Array, kernels=None) -> jax.
     yp = _reflect_pad_parity(y_parity)
     out = _conv(yp, kk.astype(y_parity.dtype)) + bb.astype(y_parity.dtype)
     return depth_to_space(out)
+
+
+# ---------------------------------------------------------------------------
+# Analytic BORDER kernels (round 3).
+#
+# The strip-based border fixups above (original op on thin slices -> s2d ->
+# where) cost MORE than the interior convs they correct (measured b=16 bf16:
+# up interior 0.53 ms vs up total 1.19 ms — scripts/bench_decoder_experiment).
+# Every border value is LINEAR in a tiny input patch, so each edge admits its
+# own folded kernel (one thin conv per edge) and each corner a dense matrix
+# (one einsum), derived in weight space exactly like the interior folds:
+#
+# - bilinear align_corners=False edge rows: U[0]=h[0], U[1]=.75h[0]+.25h[1],
+#   U[2]=.25h[0]+.75h[1], U[2n-1]=h[n-1] (torch clamps the out-of-range tap);
+# - reflect pad of the never-materialized full-res map: row -1 == row 1,
+#   row 2n == row 2n-2;
+# - heads: reflect-pad-1 of the input and of the merged intermediate fold
+#   into composed border kernels exactly as the interior 5x5 does.
+#
+# tests/test_fused.py pins every edge/corner against the strip paths (which
+# are themselves pinned against the reference-faithful ops).
+# ---------------------------------------------------------------------------
+
+# coefficient taps of the reflect-padded upsampled map's border rows, in
+# terms of the two edge rows of h. Key: full-res row R (top, h rows {0,1})
+# or R-(2n-3) (bottom, h rows {n-2, n-1} as rel {0,1}).
+_UP_EDGE0_TAPS = {
+    -1: ((0, 0.75), (1, 0.25)),  # reflect: full row -1 == full row 1
+    0: ((0, 1.0),),              # bilinear edge clamp: U[0] = h[0]
+    1: ((0, 0.75), (1, 0.25)),
+    2: ((0, 0.25), (1, 0.75)),
+}
+_UP_EDGE1_TAPS = {
+    0: ((0, 0.75), (1, 0.25)),   # R = 2n-3
+    1: ((0, 0.25), (1, 0.75)),   # R = 2n-2
+    2: ((1, 1.0),),              # R = 2n-1: U = h[n-1] (edge clamp)
+    3: ((0, 0.25), (1, 0.75)),   # R = 2n: reflect == R = 2n-2
+}
+
+
+def _up_edge_kernel_h(w, taps, key_off):
+    """[2, 3, Cin, 4Cout] kernel for a horizontal edge of the parity-packed
+    upsample conv: height taps special (from ``taps``), width interior."""
+    cin, cout = w.shape[2], w.shape[3]
+    k = jnp.zeros((2, 3, cin, 4, cout), jnp.float32)
+    for p in (0, 1):
+        for q in (0, 1):
+            for d1 in range(3):
+                for r, cv in taps[p + d1 - 1 + key_off]:
+                    for r2 in (-1, 0, 1):
+                        m2, pr2 = divmod(q + r2, 2)
+                        for d2, c2 in _BILINEAR_TAPS[pr2]:
+                            k = k.at[r, m2 + d2 + 1, :, p * 2 + q, :].add(
+                                cv * c2 * w[d1, r2 + 1]
+                            )
+    return k.reshape(2, 3, cin, 4 * cout)
+
+
+def _up_edge_kernel_v(w, taps, key_off):
+    """[3, 2, Cin, 4Cout]: width taps special, height interior."""
+    cin, cout = w.shape[2], w.shape[3]
+    k = jnp.zeros((3, 2, cin, 4, cout), jnp.float32)
+    for p in (0, 1):
+        for q in (0, 1):
+            for r1 in (-1, 0, 1):
+                m1, pr1 = divmod(p + r1, 2)
+                for d1, c1 in _BILINEAR_TAPS[pr1]:
+                    for d2 in range(3):
+                        for s, cw in taps[q + d2 - 1 + key_off]:
+                            k = k.at[m1 + d1 + 1, s, :, p * 2 + q, :].add(
+                                c1 * cw * w[r1 + 1, d2]
+                            )
+    return k.reshape(3, 2, cin, 4 * cout)
+
+
+def _up_corner_kernel(w, taps_h, off_h, taps_w, off_w):
+    """[2, 2, Cin, 4Cout]: both axes special — a dense corner map."""
+    cin, cout = w.shape[2], w.shape[3]
+    k = jnp.zeros((2, 2, cin, 4, cout), jnp.float32)
+    for p in (0, 1):
+        for q in (0, 1):
+            for d1 in range(3):
+                for r, cv in taps_h[p + d1 - 1 + off_h]:
+                    for d2 in range(3):
+                        for s, cw in taps_w[q + d2 - 1 + off_w]:
+                            k = k.at[r, s, :, p * 2 + q, :].add(
+                                cv * cw * w[d1, d2]
+                            )
+    return k.reshape(2, 2, cin, 4 * cout)
+
+
+def _up_border_kernels(params: Params):
+    w = params["weight"].astype(jnp.float32)
+    e0, e1 = _UP_EDGE0_TAPS, _UP_EDGE1_TAPS
+    return {
+        "top": _up_edge_kernel_h(w, e0, 0),
+        "bot": _up_edge_kernel_h(w, e1, 1),
+        "left": _up_edge_kernel_v(w, e0, 0),
+        "right": _up_edge_kernel_v(w, e1, 1),
+        "tl": _up_corner_kernel(w, e0, 0, e0, 0),
+        "tr": _up_corner_kernel(w, e0, 0, e1, 1),
+        "bl": _up_corner_kernel(w, e1, 1, e0, 0),
+        "br": _up_corner_kernel(w, e1, 1, e1, 1),
+    }
+
+
+def _corner_apply(patch: jax.Array, k: jax.Array) -> jax.Array:
+    """[B, r, s, Cin] x [r, s, Cin, Cout] -> [B, Cout] (f32 accumulate)."""
+    out = jnp.einsum(
+        "brsi,rsio->bo", patch, k.astype(patch.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(patch.dtype)
+
+
+def upsample_conv_parity_edgek(
+    params: Params, h: jax.Array, activation: str | None = None, kernels=None
+) -> jax.Array:
+    """Exact ``upsample_conv_layer`` in the parity domain with analytic
+    border kernels: one SAME conv + 4 thin edge convs + 4 corner einsums."""
+    from .conv import _ACTIVATIONS
+
+    kk, bb = kernels["upsamp"] if kernels else _upsample_parity_kernel(params)
+    bk = (kernels or {}).get("upsamp_borders") or _up_border_kernels(params)
+    bbt = bb.astype(h.dtype)
+    y = _conv(h, kk, padding=((1, 1), (1, 1))) + bbt
+    top = _conv(h[:, :2], bk["top"], padding=((0, 0), (1, 1))) + bbt
+    bot = _conv(h[:, -2:], bk["bot"], padding=((0, 0), (1, 1))) + bbt
+    left = _conv(h[:, :, :2], bk["left"], padding=((1, 1), (0, 0))) + bbt
+    right = _conv(h[:, :, -2:], bk["right"], padding=((1, 1), (0, 0))) + bbt
+
+    tl = _corner_apply(h[:, :2, :2], bk["tl"]) + bbt
+    tr = _corner_apply(h[:, :2, -2:], bk["tr"]) + bbt
+    bl = _corner_apply(h[:, -2:, :2], bk["bl"]) + bbt
+    br = _corner_apply(h[:, -2:, -2:], bk["br"]) + bbt
+    # corners ride the left/right strips (cols win the where order below)
+    left = left.at[:, :1, 0].set(tl[:, None])
+    left = left.at[:, -1:, 0].set(bl[:, None])
+    right = right.at[:, :1, 0].set(tr[:, None])
+    right = right.at[:, -1:, 0].set(br[:, None])
+
+    hh, wh = h.shape[1], h.shape[2]
+    ri = jnp.arange(hh)[:, None, None]
+    ci = jnp.arange(wh)[:, None]
+    y = jnp.where(ri == 0, top, y)
+    y = jnp.where(ri == hh - 1, bot, y)
+    y = jnp.where(ci == 0, left, y)
+    y = jnp.where(ci == wh - 1, right, y)
+    return _ACTIVATIONS[activation](y)
+
+
+def _final_border_kernels(params: Params, parity=None):
+    """Additive border corrections for the parity-domain final conv.
+
+    ``_reflect_pad_parity`` materializes a padded copy of the 4C map; but the
+    pad blocks are just parity-channel selections of the edge blocks, so the
+    SAME-padded block conv only MISSES additive terms: per edge, the block
+    kernel's outer tap applied to the masked edge row/col; per corner, one
+    dense tap on one parity group of the corner block.
+    """
+    kk, _ = parity if parity is not None else _final_parity_kernel(params)
+    c = kk.shape[2] // 4
+
+    def keep(k, groups):
+        m = jnp.zeros((kk.shape[2],), jnp.float32)
+        for pc in groups:
+            m = m.at[pc * c : (pc + 1) * c].set(1.0)
+        return k * m[None, None, :, None]
+
+    return {
+        # full row -1 == parity p=1 of block row 0 -> keep pc in {2, 3}
+        "top": keep(kk[0:1], (2, 3)),
+        "bot": keep(kk[2:3], (0, 1)),
+        "left": keep(kk[:, 0:1], (1, 3)),
+        "right": keep(kk[:, 2:3], (0, 2)),
+        # corner pads select a single parity group of the corner block
+        "tl": kk[0, 0, 3 * c : 4 * c],  # (p,q)=(1,1)
+        "tr": kk[0, 2, 2 * c : 3 * c],  # (1,0)
+        "bl": kk[2, 0, 1 * c : 2 * c],  # (0,1)
+        "br": kk[2, 2, 0 * c : 1 * c],  # (0,0)
+    }
+
+
+def final_conv_parity_edgek(
+    params: Params, y_parity: jax.Array, kernels=None
+) -> jax.Array:
+    """Exact full-res reflect conv3x3 on a parity-packed input, without the
+    materialized ``_reflect_pad_parity`` copy: SAME conv + additive edge
+    convs + corner terms; returns the FULL-RES result."""
+    kk, bb = kernels["final"] if kernels else _final_parity_kernel(params)
+    fb = (kernels or {}).get("final_borders") or _final_border_kernels(
+        params, parity=(kk, bb)
+    )
+    y = y_parity
+    out = _conv(y, kk, padding=((1, 1), (1, 1))) + bb.astype(y.dtype)
+    out = out.at[:, :1].add(_conv(y[:, :1], fb["top"], padding=((0, 0), (1, 1))))
+    out = out.at[:, -1:].add(_conv(y[:, -1:], fb["bot"], padding=((0, 0), (1, 1))))
+    out = out.at[:, :, :1].add(_conv(y[:, :, :1], fb["left"], padding=((1, 1), (0, 0))))
+    out = out.at[:, :, -1:].add(_conv(y[:, :, -1:], fb["right"], padding=((1, 1), (0, 0))))
+
+    c = kk.shape[2] // 4
+
+    def corner(val, k):  # [B, c] x [c, 4Cout] -> [B, 4Cout]
+        r = jnp.einsum("bi,io->bo", val, k.astype(val.dtype),
+                       preferred_element_type=jnp.float32)
+        return r.astype(val.dtype)
+
+    out = out.at[:, 0, 0].add(corner(y[:, 0, 0, 3 * c :], fb["tl"]))
+    out = out.at[:, 0, -1].add(corner(y[:, 0, -1, 2 * c : 3 * c], fb["tr"]))
+    out = out.at[:, -1, 0].add(corner(y[:, -1, 0, c : 2 * c], fb["bl"]))
+    out = out.at[:, -1, -1].add(corner(y[:, -1, -1, : c], fb["br"]))
+    return depth_to_space(out)
+
+
+# ---------------------------------------------------------------------------
+# heads border kernels: the two-stage reflect-pad composition folded per edge
+# ---------------------------------------------------------------------------
+
+def _heads_row_top(s, t):
+    """x-row index (into x[0:3]) read by composed tap (W0-tap s, merged-tap
+    t) at the TOP half-res output row: reflect-pad-1 of the merged map
+    (row -1 -> 1) then reflect-pad-1 of the input."""
+    m = 1 if s - 1 == -1 else s - 1      # merged row
+    r = m - 1 + t                        # x row, in -1..2
+    return 1 if r == -1 else r
+
+
+def _heads_row_bot(s, t):
+    """x-row index (into x[-4:]) at the BOTTOM output row: the merged map
+    needs no pad there (it reads merged rows H-3..H-1) but merged row H-1
+    reads x[H] -> reflect -> x[H-2]; base abs row H-4, rel = s + t."""
+    r = s + t                            # rel x row in 0..4 (abs H-4 + r)
+    return 2 if r == 4 else r            # abs H reflects to H-2 (rel 2)
+
+
+def _heads_border_kernels(params: Params):
+    """Edge kernels [rows, 5, Cin, Cout] (stride-2 width, interior) and
+    corner tensors for the composed heads conv."""
+    a, _ = _merged_head_kernel(params)
+    a = a.astype(jnp.float32)
+    w0 = params["W0"]["weight"].astype(jnp.float32)
+    cin, cout = a.shape[2], w0.shape[3]
+
+    def edge_h(row_map, nrows):
+        k = jnp.zeros((nrows, 5, cin, cout), jnp.float32)
+        for s1 in range(3):
+            for t1 in range(3):
+                r = row_map(s1, t1)
+                for s2 in range(3):
+                    for t2 in range(3):
+                        k = k.at[r, s2 + t2].add(
+                            jnp.einsum("im,mo->io", a[t1, t2], w0[s1, s2])
+                        )
+        return k
+
+    def edge_v(col_map, ncols):
+        k = jnp.zeros((5, ncols, cin, cout), jnp.float32)
+        for s2 in range(3):
+            for t2 in range(3):
+                cidx = col_map(s2, t2)
+                for s1 in range(3):
+                    for t1 in range(3):
+                        k = k.at[s1 + t1, cidx].add(
+                            jnp.einsum("im,mo->io", a[t1, t2], w0[s1, s2])
+                        )
+        return k
+
+    def corner(row_map, nrows, col_map, ncols):
+        k = jnp.zeros((nrows, ncols, cin, cout), jnp.float32)
+        for s1 in range(3):
+            for t1 in range(3):
+                r = row_map(s1, t1)
+                for s2 in range(3):
+                    for t2 in range(3):
+                        k = k.at[r, col_map(s2, t2)].add(
+                            jnp.einsum("im,mo->io", a[t1, t2], w0[s1, s2])
+                        )
+        return k
+
+    return {
+        "top": edge_h(_heads_row_top, 3),
+        "bot": edge_h(_heads_row_bot, 4),
+        "left": edge_v(_heads_row_top, 3),
+        "right": edge_v(_heads_row_bot, 4),
+        "tl": corner(_heads_row_top, 3, _heads_row_top, 3),
+        "tr": corner(_heads_row_top, 3, _heads_row_bot, 4),
+        "bl": corner(_heads_row_bot, 4, _heads_row_top, 3),
+        "br": corner(_heads_row_bot, 4, _heads_row_bot, 4),
+    }
+
+
+def heads_fused_edgek(
+    params: Params, events: jax.Array, prev_image: jax.Array, kernels=None
+) -> jax.Array:
+    """Exact heads pipeline via the composed 5x5/s2 conv + analytic border
+    kernels (no two-stage strip recomputation)."""
+    x = jnp.concatenate([events, prev_image], axis=-1)
+    k5, b5 = kernels["heads"] if kernels else _composed_heads_kernel(params)
+    hb = (kernels or {}).get("heads_borders") or _heads_border_kernels(params)
+    b5t = b5.astype(x.dtype)
+
+    y = _conv(x, k5, stride=(2, 2), padding=((2, 2), (2, 2))) + b5t
+    top = _conv(x[:, :3], hb["top"], stride=(1, 2), padding=((0, 0), (2, 2))) + b5t
+    bot = _conv(x[:, -4:], hb["bot"], stride=(1, 2), padding=((0, 0), (2, 2))) + b5t
+    left = _conv(x[:, :, :3], hb["left"], stride=(2, 1), padding=((2, 2), (0, 0))) + b5t
+    right = _conv(x[:, :, -4:], hb["right"], stride=(2, 1), padding=((2, 2), (0, 0))) + b5t
+
+    tl = _corner_apply(x[:, :3, :3], hb["tl"]) + b5t
+    tr = _corner_apply(x[:, :3, -4:], hb["tr"]) + b5t
+    bl = _corner_apply(x[:, -4:, :3], hb["bl"]) + b5t
+    br = _corner_apply(x[:, -4:, -4:], hb["br"]) + b5t
+    left = left.at[:, :1, 0].set(tl[:, None])
+    left = left.at[:, -1:, 0].set(bl[:, None])
+    right = right.at[:, :1, 0].set(tr[:, None])
+    right = right.at[:, -1:, 0].set(br[:, None])
+
+    h2, w2 = y.shape[1], y.shape[2]
+    ri = jnp.arange(h2)[:, None, None]
+    ci = jnp.arange(w2)[:, None]
+    y = jnp.where(ri == 0, top, y)
+    y = jnp.where(ri == h2 - 1, bot, y)
+    y = jnp.where(ci == 0, left, y)
+    y = jnp.where(ci == w2 - 1, right, y)
+    return y
