@@ -204,3 +204,75 @@ def test_edgek_with_precomputed_kernels():
         kernels=kernels,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# parity-domain IO (CistaConfig.io_layout='parity')
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("hw", [(12, 16), (90, 120)])
+def test_heads_parity_edgek_exact(hw):
+    from v2e2v_tpu.ops.fused import heads_parity_edgek
+
+    h, w = hw
+    cfg = CistaConfig(image_dim=(h, w), base_channels=16, depth=2, num_bins=5)
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(11)
+    ev = jnp.asarray(rng.normal(size=(2, h, w, 5)).astype(np.float32))
+    img = jnp.asarray(rng.normal(size=(2, h, w, 1)).astype(np.float32))
+    ref = _heads_ref(params, ev, img)
+    got = heads_parity_edgek(params, space_to_depth(ev), space_to_depth(img))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_final_conv_parity_edgek_packed():
+    from v2e2v_tpu.ops.fused import final_conv_parity_edgek
+
+    cfg = CistaConfig(image_dim=(20, 24), base_channels=16, depth=2, num_bins=5)
+    params = init_cista_lstc(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(12)
+    y = jnp.asarray(rng.normal(size=(2, 10, 12, 64)).astype(np.float32))
+    full = final_conv_parity_edgek(params["final_conv"], y)
+    packed = final_conv_parity_edgek(params["final_conv"], y, packed=True)
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(packed)), np.asarray(full)
+    )
+
+
+def test_cista_sequence_parity_io_matches_full():
+    """io_layout='parity' equals the default path in values AND BPTT grads
+    (same algebra, different f32 summation order)."""
+    from v2e2v_tpu.models.cista import cista_sequence
+
+    cfg = CistaConfig(image_dim=(32, 40), base_channels=16, depth=3, num_bins=5)
+    cfgp = CistaConfig(
+        image_dim=(32, 40), base_channels=16, depth=3, num_bins=5,
+        io_layout="parity",
+    )
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(13)
+    seq = jnp.asarray(rng.normal(size=(4, 2, 32, 40, 5)).astype(np.float32))
+    pi = jnp.asarray(rng.random((2, 32, 40, 1)).astype(np.float32))
+
+    r0, s0 = cista_sequence(params, cfg, seq, prev_image=pi)
+    r1, s1 = cista_sequence(params, cfgp, seq, prev_image=pi)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4
+        ),
+        s0, s1,
+    )
+
+    def loss(p, c):
+        r, _ = cista_sequence(p, c, seq, prev_image=pi)
+        return (r ** 2).mean()
+
+    g0 = jax.grad(loss)(params, cfg)
+    g1 = jax.grad(loss)(params, cfgp)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
+        ),
+        g0, g1,
+    )

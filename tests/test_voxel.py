@@ -131,3 +131,64 @@ def test_preprocess_all_zero_is_identity():
     np.testing.assert_array_equal(out, v)
     out_dev = np.asarray(event_preprocess(jnp.asarray(v), mode="std"))
     np.testing.assert_array_equal(out_dev, v)
+
+
+@pytest.mark.parametrize("method", ["sort", "scatter"])
+def test_parity_layout_is_space_to_depth_of_ref(method):
+    """layout='parity' == space_to_depth of the reference grid (NHWC)."""
+    from v2e2v_tpu.ops.fused import space_to_depth
+
+    rng = np.random.default_rng(7)
+    n, h, w, nb = 900, 12, 16, 5
+    t = np.sort(rng.uniform(0.0, 0.05, n))
+    x = rng.integers(0, w, n)
+    y = rng.integers(0, h, n)
+    p = rng.choice([0.0, 1.0, -1.0], n)
+    events = np.stack([t, x, y, p], axis=1)
+    args = _to_device_args(events, capacity=1024)
+
+    ref = events_to_voxel_grid(
+        *args, num_bins=nb, width=w, height=h, method=method
+    )
+    par = events_to_voxel_grid(
+        *args, num_bins=nb, width=w, height=h, method=method, layout="parity"
+    )
+    # ref grid is [nb, H, W]; NHWC view is transpose(1, 2, 0). 'scatter'
+    # accumulates per cell in event order under both layouts -> bit-equal;
+    # 'sort' prefix-sums in flat-index order, which the layout permutes ->
+    # f32 summation-order noise only.
+    want = space_to_depth(jnp.transpose(ref, (1, 2, 0))[None])[0]
+    if method == "scatter":
+        np.testing.assert_array_equal(np.asarray(par), np.asarray(want))
+    else:
+        np.testing.assert_allclose(
+            np.asarray(par), np.asarray(want), atol=2e-4
+        )
+
+
+def test_cista_sequence_input_packed_matches_unpacked():
+    import jax
+
+    from v2e2v_tpu.models.cista import (
+        CistaConfig,
+        cista_sequence,
+        init_cista_lstc,
+    )
+    from v2e2v_tpu.ops.fused import space_to_depth
+
+    cfg = CistaConfig(image_dim=(16, 24), base_channels=16, depth=2, num_bins=5)
+    cfgp = CistaConfig(
+        image_dim=(16, 24), base_channels=16, depth=2, num_bins=5,
+        io_layout="parity",
+    )
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(8)
+    seq = jnp.asarray(rng.normal(size=(3, 2, 16, 24, 5)).astype(np.float32))
+    seqp = space_to_depth(seq.reshape(6, 16, 24, 5)).reshape(3, 2, 8, 12, 20)
+
+    r0, _ = cista_sequence(params, cfg, seq)
+    r1, _ = cista_sequence(params, cfgp, seqp, input_packed=True)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=2e-5)
+
+    with pytest.raises(ValueError):
+        cista_sequence(params, cfg, seq, input_packed=True)

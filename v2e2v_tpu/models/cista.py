@@ -74,6 +74,18 @@ class CistaConfig:
     # of bf16 MXU peak, so the rewrite's +27% zero-block FLOPs outweigh the
     # saved conv launch. Kept as the documented negative result.
     lstc_impl: str = "ref"
+    # sequence IO layout inside ``cista_sequence``: 'full' keeps the
+    # reference layout per step; 'parity' (cista-lstc + fullres_impl='fused'
+    # + even dims only) space-to-depth-packs the voxel/image IO ONCE outside
+    # the scan and keeps the whole recurrence in the half-res parity domain.
+    # Exact up to f32 summation order (ops/fused.py heads_parity_edgek).
+    # MEASURED (v5e bf16 b=8, one binary): parity heads alone are 3x the
+    # full-res composed conv (0.33 vs 1.05 ms) but the end-to-end step only
+    # improves 3.730 -> 3.674 ms (+1.5%) with pre-packed input — XLA's
+    # layout choices for the downstream LSTC/ISTA shift and absorb the win —
+    # and the in-jit s2d of the input sequence costs 0.18 ms/step on its
+    # own (pathological 5-channel relayout). Kept opt-in.
+    io_layout: str = "full"
 
 
 class CistaState(NamedTuple):
@@ -273,6 +285,53 @@ def cista_lstc_step(
     return rec, CistaState(cell=cell, z=z, dg=dg_state)
 
 
+def cista_lstc_step_parity(
+    params: Params,
+    cfg: CistaConfig,
+    ev_parity: jax.Array,
+    prev_parity: jax.Array,
+    state: CistaState,
+) -> tuple[jax.Array, CistaState]:
+    """``cista_lstc_step`` with parity-packed IO (``CistaConfig.io_layout``).
+
+    Args/returns mirror ``cista_lstc_step`` but events are
+    ``[B, H/2, W/2, 4*num_bins]`` and the reconstruction is
+    ``[B, H/2, W/2, 4]`` (``ops/fused.py space_to_depth`` packing) — the
+    image feeds back without ever materializing at full resolution.
+    """
+    from ..ops.fused import (
+        final_conv_parity_edgek,
+        heads_parity_edgek,
+        upsample_conv_parity_edgek,
+    )
+
+    kernels = params.get("_fullres_fused")
+    x1 = heads_parity_edgek(params, ev_parity, prev_parity, kernels=kernels)
+
+    z, cell = conv_lstc_step(params["P0"], x1, state.z, state.cell)
+
+    lista = params["lista"]
+    lam = lista["Lambda"]
+    tmp = z
+    for _ in range(cfg.depth):
+        tmp = conv_layer(tmp, lista["D"], padding=1)
+        x = x1 - tmp
+        x = conv_layer(x, lista["P"], padding=1)
+        x = x + z
+        z = softshrink(x, lam)
+        tmp = z
+
+    x = conv_layer(z, params["Dg"]["conv"], padding=1, activation="relu")
+    rec, dg_state = conv_lstm_step(params["Dg"]["lstm"], x, state.dg)
+    rec = upsample_conv_parity_edgek(
+        params["upsamp_conv"], rec, activation="relu", kernels=kernels
+    )
+    rec = final_conv_parity_edgek(
+        params["final_conv"], rec, kernels=kernels, packed=True
+    )
+    return jax.nn.sigmoid(rec), CistaState(cell=cell, z=z, dg=dg_state)
+
+
 def cista_tc_step(
     params: Params,
     cfg: CistaConfig,
@@ -331,6 +390,7 @@ def cista_sequence(
     state: CistaState | None = None,
     unroll: int = 1,
     remat: bool = False,
+    input_packed: bool = False,
 ):
     """Reconstruct a sequence of voxel grids with ``lax.scan``.
 
@@ -339,7 +399,12 @@ def cista_sequence(
     recurrence lives on-device in one compiled scan.
 
     Args:
-      voxel_seq: ``[T, B, H, W, num_bins]``.
+      voxel_seq: ``[T, B, H, W, num_bins]`` — or, with ``input_packed``
+        (``io_layout='parity'`` only), the producer-side parity layout
+        ``[T, B, H/2, W/2, 4*num_bins]`` (``ops/voxel.py`` emits it natively
+        via ``layout='parity'`` — pure index arithmetic, zero extra cost),
+        skipping the in-jit space_to_depth relayout. ``prev_image``, if
+        given, must then be packed ``[B, H/2, W/2, 4]`` too.
       remat: rematerialize each scan step on the backward pass
         (``jax.checkpoint``) — BPTT keeps only the per-step carries instead
         of every conv activation (T=15 x b=8 fp32 at 180x240 otherwise
@@ -351,17 +416,45 @@ def cista_sequence(
     if state is None:
         state = cista_zero_state(cfg, b, voxel_seq.dtype)
     if prev_image is None:
-        prev_image = jnp.zeros(
-            (b, cfg.image_dim[0], cfg.image_dim[1], 1), voxel_seq.dtype
+        pi_shape = (
+            (b, cfg.image_dim[0] // 2, cfg.image_dim[1] // 2, 4)
+            if input_packed
+            else (b, cfg.image_dim[0], cfg.image_dim[1], 1)
         )
+        prev_image = jnp.zeros(pi_shape, voxel_seq.dtype)
     if cfg.model_mode == "cista-lstc" and cfg.lstc_impl == "fused":
         params = {**params, "_lstc_fused": conv_lstc_fuse(params["P0"])}
     if cfg.fullres_impl == "fused":
         from ..ops.fused import precompute_fused_kernels
 
         params = {**params, "_fullres_fused": precompute_fused_kernels(params)}
-    step = get_step_fn(cfg)
-    step_c = lambda p, ev, pi, st: step(p, cfg, ev, pi, st)  # noqa: E731
+
+    parity_io = (
+        cfg.io_layout == "parity"
+        and cfg.model_mode == "cista-lstc"
+        and cfg.fullres_impl == "fused"
+        and cfg.image_dim[0] % 2 == 0
+        and cfg.image_dim[1] % 2 == 0
+    )
+    if input_packed and not parity_io:
+        raise ValueError("input_packed requires io_layout='parity'")
+    if parity_io:
+        from ..ops.fused import depth_to_space, space_to_depth
+
+        h, w = cfg.image_dim
+        if not input_packed:
+            # pack the whole sequence + feedback image ONCE outside the
+            # scan (one relayout amortized over T steps)
+            voxel_seq = space_to_depth(
+                voxel_seq.reshape(t * b, h, w, cfg.num_bins)
+            ).reshape(t, b, h // 2, w // 2, 4 * cfg.num_bins)
+            prev_image = space_to_depth(prev_image)
+        step_c = lambda p, ev, pi, st: cista_lstc_step_parity(  # noqa: E731
+            p, cfg, ev, pi, st
+        )
+    else:
+        step = get_step_fn(cfg)
+        step_c = lambda p, ev, pi, st: step(p, cfg, ev, pi, st)  # noqa: E731
     if remat:
         step_c = jax.checkpoint(step_c)
 
@@ -376,4 +469,8 @@ def cista_sequence(
     (_, final_state), recs = jax.lax.scan(
         body, (prev_image, state), voxel_seq, unroll=unroll
     )
+    if parity_io:
+        recs = depth_to_space(
+            recs.reshape(t * b, h // 2, w // 2, 4)
+        ).reshape(t, b, h, w, 1)
     return recs, final_state

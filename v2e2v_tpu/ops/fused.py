@@ -132,6 +132,7 @@ def precompute_fused_kernels(params: Params) -> Params:
     final = _final_parity_kernel(params["final_conv"])
     return {
         "heads": _composed_heads_kernel(params),
+        "heads_parity": _heads_parity_kernel(params),
         "heads_borders": _heads_border_kernels(params),
         "upsamp": _upsample_parity_kernel(params["upsamp_conv"]),
         "upsamp_borders": _up_border_kernels(params["upsamp_conv"]),
@@ -505,11 +506,13 @@ def _final_border_kernels(params: Params, parity=None):
 
 
 def final_conv_parity_edgek(
-    params: Params, y_parity: jax.Array, kernels=None
+    params: Params, y_parity: jax.Array, kernels=None, packed: bool = False
 ) -> jax.Array:
     """Exact full-res reflect conv3x3 on a parity-packed input, without the
     materialized ``_reflect_pad_parity`` copy: SAME conv + additive edge
-    convs + corner terms; returns the FULL-RES result."""
+    convs + corner terms; returns the FULL-RES result (or the parity-packed
+    ``[B, H/2, W/2, 4*Cout]`` result when ``packed`` — the parity-domain
+    recurrence feeds it straight back into ``heads_parity_edgek``)."""
     kk, bb = kernels["final"] if kernels else _final_parity_kernel(params)
     fb = (kernels or {}).get("final_borders") or _final_border_kernels(
         params, parity=(kk, bb)
@@ -532,7 +535,7 @@ def final_conv_parity_edgek(
     out = out.at[:, 0, -1].add(corner(y[:, 0, -1, 2 * c : 3 * c], fb["tr"]))
     out = out.at[:, -1, 0].add(corner(y[:, -1, 0, c : 2 * c], fb["bl"]))
     out = out.at[:, -1, -1].add(corner(y[:, -1, -1, : c], fb["br"]))
-    return depth_to_space(out)
+    return out if packed else depth_to_space(out)
 
 
 # ---------------------------------------------------------------------------
@@ -610,6 +613,86 @@ def _heads_border_kernels(params: Params):
         "bl": corner(_heads_row_bot, 4, _heads_row_top, 3),
         "br": corner(_heads_row_bot, 4, _heads_row_bot, 4),
     }
+
+
+def _heads_parity_kernel(params: Params):
+    """[3, 3, 4*nb+4, Cout] kernel equal to the composed 5x5 stride-2 heads
+    conv applied to PARITY-PACKED input (events ``space_to_depth``-packed at
+    ``4*nb`` channels followed by the packed prev image at 4 channels).
+
+    A stride-2 5x5 conv reads full-res taps ``2i+u-2``; writing
+    ``u-2 = 2a+p`` maps every tap onto a 3x3 neighborhood of parity blocks,
+    so the composed kernel is a pure reindex of ``k5`` — no arithmetic, and
+    the full-resolution input never needs to exist.
+    """
+    k5, b5 = _composed_heads_kernel(params)  # [5,5, nb+1, cout]
+    cin, cout = k5.shape[2], k5.shape[3]
+    nb = cin - 1
+    kp = jnp.zeros((3, 3, 4 * nb + 4, cout), jnp.float32)
+    for u in range(5):
+        a, p = divmod(u - 2, 2)
+        for v in range(5):
+            b_, q = divmod(v - 2, 2)
+            pc = p * 2 + q
+            kp = kp.at[a + 1, b_ + 1, pc * nb : (pc + 1) * nb].set(k5[u, v, :nb])
+            kp = kp.at[a + 1, b_ + 1, 4 * nb + pc].set(k5[u, v, nb])
+    return kp, b5
+
+
+def heads_parity_edgek(
+    params: Params, ev_parity: jax.Array, img_parity: jax.Array, kernels=None
+) -> jax.Array:
+    """Exact heads pipeline on PARITY-PACKED inputs: one SAME 3x3 conv over
+    ``[B, H/2, W/2, 4*nb+4]`` + the analytic border kernels applied to thin
+    strips reassembled from the edge parity blocks.
+
+    With the final conv emitting packed output (``final_conv_parity_edgek``
+    ``packed=True``) the recurrence's full-resolution maps never touch HBM;
+    the 6-channel full-res conv that starved the MXU becomes a dense
+    24-channel half-res conv.
+    """
+    kp, b5 = (
+        kernels["heads_parity"] if kernels else _heads_parity_kernel(params)
+    )
+    hb = (kernels or {}).get("heads_borders") or _heads_border_kernels(params)
+    xp = jnp.concatenate([ev_parity, img_parity], axis=-1)
+    b5t = b5.astype(xp.dtype)
+    y = _conv(xp, kp, padding=((1, 1), (1, 1))) + b5t
+
+    # thin full-res strips for the border kernels (4 rows/cols each — two
+    # parity block rows/cols); tiny d2s calls, borders only
+    def strip(ev_sl, img_sl):
+        return jnp.concatenate(
+            [depth_to_space(ev_sl), depth_to_space(img_sl)], axis=-1
+        )
+
+    xt = strip(ev_parity[:, :2], img_parity[:, :2])        # full rows 0..3
+    xb = strip(ev_parity[:, -2:], img_parity[:, -2:])      # rows H-4..H-1
+    xl = strip(ev_parity[:, :, :2], img_parity[:, :, :2])  # full cols 0..3
+    xr = strip(ev_parity[:, :, -2:], img_parity[:, :, -2:])
+
+    top = _conv(xt[:, :3], hb["top"], stride=(1, 2), padding=((0, 0), (2, 2))) + b5t
+    bot = _conv(xb, hb["bot"], stride=(1, 2), padding=((0, 0), (2, 2))) + b5t
+    left = _conv(xl[:, :, :3], hb["left"], stride=(2, 1), padding=((2, 2), (0, 0))) + b5t
+    right = _conv(xr, hb["right"], stride=(2, 1), padding=((2, 2), (0, 0))) + b5t
+
+    tl = _corner_apply(xt[:, :3, :3], hb["tl"]) + b5t
+    tr = _corner_apply(xt[:, :3, -4:], hb["tr"]) + b5t
+    bl = _corner_apply(xb[:, :, :3], hb["bl"]) + b5t
+    br = _corner_apply(xb[:, :, -4:], hb["br"]) + b5t
+    left = left.at[:, :1, 0].set(tl[:, None])
+    left = left.at[:, -1:, 0].set(bl[:, None])
+    right = right.at[:, :1, 0].set(tr[:, None])
+    right = right.at[:, -1:, 0].set(br[:, None])
+
+    h2, w2 = y.shape[1], y.shape[2]
+    ri = jnp.arange(h2)[:, None, None]
+    ci = jnp.arange(w2)[:, None]
+    y = jnp.where(ri == 0, top, y)
+    y = jnp.where(ri == h2 - 1, bot, y)
+    y = jnp.where(ci == 0, left, y)
+    y = jnp.where(ci == w2 - 1, right, y)
+    return y
 
 
 def heads_fused_edgek(

@@ -78,7 +78,9 @@ def events_to_voxel_grid_np(
     return voxel_grid.reshape(num_bins, height, width).astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("num_bins", "width", "height", "method"))
+@partial(
+    jax.jit, static_argnames=("num_bins", "width", "height", "method", "layout")
+)
 def events_to_voxel_grid(
     t: jax.Array,
     x: jax.Array,
@@ -90,6 +92,7 @@ def events_to_voxel_grid(
     width: int,
     height: int,
     method: str = "sort",
+    layout: str = "ref",
 ) -> jax.Array:
     """Device voxelization with a static event capacity.
 
@@ -99,9 +102,15 @@ def events_to_voxel_grid(
       n_valid: scalar int — number of real events.
       method: "sort" (sort + prefix-sum + searchsorted; scatter-free) or
         "scatter" (one fused scatter-add).
+      layout: "ref" — the reference ``(num_bins, H, W)`` grid; "parity" —
+        the ``(H/2, W/2, 4*num_bins)`` space-to-depth layout consumed by
+        ``cista_sequence(..., input_packed=True)`` (channel order
+        ``(y%2, x%2, bin)`` matching ``ops/fused.py space_to_depth``).
+        Same values, different flat index arithmetic — zero extra cost at
+        the producer, and the reconstruction never pays an in-jit relayout.
 
-    Returns: ``(num_bins, height, width)`` float32 voxel grid matching
-    ``events_to_voxel_grid_np``.
+    Returns: ``(num_bins, height, width)`` (or parity-packed) float32 voxel
+    grid matching ``events_to_voxel_grid_np``.
     """
     capacity = t.shape[0]
     grid_size = num_bins * height * width
@@ -125,12 +134,26 @@ def events_to_voxel_grid(
     xs = x.astype(jnp.int32)
     ys = y.astype(jnp.int32)
 
-    base = xs + ys * width
     left_ok = is_valid & (tis < num_bins) & (tis >= 0)
     right_ok = is_valid & ((tis + 1) < num_bins) & (tis >= 0)
 
-    left_idx = jnp.where(left_ok, base + tis * width * height, grid_size)
-    right_idx = jnp.where(right_ok, base + (tis + 1) * width * height, grid_size)
+    if layout == "ref":
+        base = xs + ys * width
+        bin_stride = width * height
+    elif layout == "parity":
+        if height % 2 or width % 2:
+            raise ValueError("layout='parity' requires even height/width")
+        # flat index into [H/2, W/2, 4*nb], channel order (y%2, x%2, bin)
+        base = (
+            ((ys // 2) * (width // 2) + xs // 2) * (4 * num_bins)
+            + ((ys % 2) * 2 + xs % 2) * num_bins
+        )
+        bin_stride = 1
+    else:
+        raise ValueError(f"unknown layout: {layout!r}")
+
+    left_idx = jnp.where(left_ok, base + tis * bin_stride, grid_size)
+    right_idx = jnp.where(right_ok, base + (tis + 1) * bin_stride, grid_size)
     left_val = jnp.where(left_ok, pols * (1.0 - dts), 0.0)
     right_val = jnp.where(right_ok, pols * dts, 0.0)
 
@@ -156,6 +179,8 @@ def events_to_voxel_grid(
     else:
         raise ValueError(f"unknown method: {method!r}")
 
+    if layout == "parity":
+        return grid.reshape(height // 2, width // 2, 4 * num_bins)
     return grid.reshape(num_bins, height, width)
 
 
