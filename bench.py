@@ -4,10 +4,13 @@ Headline metric: CISTA-LSTC E2V inference throughput (frames/sec/chip) at the
 reference config (180x240, 64ch, depth 5, 5 bins) — the per-chip throughput
 target from BASELINE.json. The recurrence is serial in time, so per-chip
 throughput = batched independent streams x a compiled ``lax.scan`` over time.
-Headline = bfloat16, batch 8 — the production serving dtype: bf16 inference
+Headline = bfloat16, batch 16 — the production serving dtype: bf16 inference
 matches fp32 eval metrics to the 4th decimal (MSE/PSNR/SSIM on a trained
-checkpoint; see BENCH_NOTES.md), far inside the 1%% parity budget. fp32 and
-batch-1 numbers are reported on stderr.
+checkpoint; see BENCH_NOTES.md), far inside the 1%% parity budget. Batch 16
+is the measured per-chip sweet spot (0.448 ms/frame vs 0.464 at b=8; batch
+sweep table in BENCH_NOTES.md — serving batches independent streams, so
+any batch is throughput-legitimate). fp32 and batch-1 numbers are reported
+on stderr.
 
 Timing methodology: on this tunneled TPU platform ``block_until_ready`` does
 NOT actually block, so each measurement chains N executions and forces a
@@ -191,10 +194,11 @@ def main():
     t_start = time.time()
     budget_s = float(os.environ.get("V2E2V_BENCH_BUDGET_S", "480"))
 
-    fps_b8 = bench_e2v(batch=8, dtype=jnp.bfloat16)
+    fps_head = bench_e2v(batch=16, dtype=jnp.bfloat16)
 
     extras = {}
     for name, fn in (
+        ("e2v_bf16_b8_fps", lambda: bench_e2v(batch=8, dtype=jnp.bfloat16)),
         ("e2v_fp32_b8_fps", lambda: bench_e2v(batch=8)),
         ("e2v_fp32_b1_fps", lambda: bench_e2v(batch=1)),
         ("voxelize_mev_s", lambda: bench_voxelize() / 1e6),
@@ -208,9 +212,9 @@ def main():
         except Exception as e:  # secondary metrics must not sink the headline
             print(f"[bench] {name} failed: {e}", file=sys.stderr)
 
-    print(f"[bench] e2v bf16 b=8: {fps_b8:.0f} fps/chip | extras: {extras}",
+    print(f"[bench] e2v bf16 b=16: {fps_head:.0f} fps/chip | extras: {extras}",
           file=sys.stderr)
-    value = fps_b8
+    value = fps_head
     print(
         json.dumps(
             {
