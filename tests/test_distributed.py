@@ -34,6 +34,14 @@ def _run(env_extra, n_local_devices):
         f"--xla_force_host_platform_device_count={n_local_devices}"
     )
     env["JAX_PLATFORMS"] = "cpu"
+    # persistent compile cache: the workload costs minutes of XLA CPU
+    # compile on this 1-core host and the 2-process leg compiles the same
+    # program twice concurrently (see __graft_entry__._enable_compile_cache)
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(_HERE, os.pardir, ".jax_cache"),
+    )
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
     env.update(env_extra)
     return subprocess.Popen(
         [sys.executable, _WORKLOAD],
@@ -53,7 +61,7 @@ def _parse(stdout: str):
 def test_two_process_training_matches_single_process():
     # single process, 8 virtual devices
     p = _run({}, n_local_devices=8)
-    out, err = p.communicate(timeout=900)
+    out, err = p.communicate(timeout=1800)
     assert p.returncode == 0, f"single-process run failed:\n{err[-3000:]}"
     loss1, psum1 = _parse(out)
 
@@ -72,7 +80,8 @@ def test_two_process_training_matches_single_process():
     ]
     outs = []
     for i, p in enumerate(procs):
-        out, err = p.communicate(timeout=900)
+        # 2 concurrent cold-cache compiles share the 1-core host
+        out, err = p.communicate(timeout=1800)
         assert p.returncode == 0, f"process {i} failed:\n{err[-3000:]}"
         outs.append(out)
 
