@@ -51,12 +51,31 @@ def main():
     seq_shard = batch_sharding(mesh, time_leading=True)
     gt_shard = batch_sharding(mesh, time_leading=False)
 
-    loss = None
-    for i in range(3):
+    batches = []
+    for _ in range(3):
         voxel_np = rng.normal(size=(t, b, h, w, nb)).astype(np.float32)
         gt_np = rng.uniform(size=(b, h, w, 1)).astype(np.float32)
-        voxel = global_batch(voxel_np, seq_shard)
-        gt = global_batch(gt_np, gt_shard)
+        batches.append(
+            (global_batch(voxel_np, seq_shard), global_batch(gt_np, gt_shard))
+        )
+
+    # AOT-compile BEFORE the cross-process barrier: Gloo's context init has
+    # a hard ~30s key-exchange timeout at first dispatch, and per-process
+    # compile times vary minutes on this host (per-process cache keys). The
+    # coordination-service barrier below has a generous timeout, so after it
+    # both processes dispatch together and Gloo connects in milliseconds.
+    step.lower(params, opt_state, *batches[0]).compile()
+    if os.environ.get("V2E2V_NUM_PROCESSES"):
+        # coordination-service barrier (NOT a device collective — a device
+        # collective here would itself race Gloo's 30s context-init window)
+        from jax._src import distributed as _dist
+
+        _dist.global_state.client.wait_at_barrier(
+            "dist_workload_compiled", timeout_in_ms=1_500_000
+        )
+
+    loss = None
+    for voxel, gt in batches:
         params, opt_state, loss = step(params, opt_state, voxel, gt)
 
     loss = float(loss)
