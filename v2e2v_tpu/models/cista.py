@@ -74,6 +74,11 @@ class CistaConfig:
     # of bf16 MXU peak, so the rewrite's +27% zero-block FLOPs outweigh the
     # saved conv launch. Kept as the documented negative result.
     lstc_impl: str = "ref"
+    # 'xla' (default) or 'pallas': ONE fused VMEM-resident kernel for the
+    # whole half-res core (ConvLSTC -> ISTA x depth -> Dg conv -> ConvLSTM;
+    # ops/pallas/core.py) — flat [HW, C] layout, conv taps as sublane
+    # slices, no relayouts. Opt-in pending measured wins on real hardware.
+    core_impl: str = "xla"
     # sequence IO layout inside ``cista_sequence``: 'full' keeps the
     # reference layout per step; 'parity' (cista-lstc + fullres_impl='fused'
     # + even dims only) space-to-depth-packs the voxel/image IO ONCE outside
@@ -247,6 +252,19 @@ def cista_lstc_step(
     Returns ``(rec_image [B,H,W,1], new_state)``.
     """
     x1 = _heads(params, cfg, events, prev_image)
+
+    if cfg.core_impl == "pallas":
+        from ..ops.pallas.core import cista_core_pallas, core_taps
+
+        taps = params.get("_core_taps")
+        if taps is None:
+            taps = core_taps(params, x1.dtype)
+        rec_h, z, cell, dg_h, dg_c = cista_core_pallas(
+            taps, x1, state.z, state.cell, state.dg[0], state.dg[1],
+            depth=cfg.depth,
+        )
+        rec = _upsample_final(params, cfg, rec_h, upsamp_activation="relu")
+        return jax.nn.sigmoid(rec), CistaState(cell=cell, z=z, dg=(dg_h, dg_c))
 
     # ConvLSTC consumes the previous step's sparse code and its own cell
     # (reference passes prev_states[-2] == z, prev_states[0] == cell, :68)
@@ -428,6 +446,10 @@ def cista_sequence(
         from ..ops.fused import precompute_fused_kernels
 
         params = {**params, "_fullres_fused": precompute_fused_kernels(params)}
+    if cfg.model_mode == "cista-lstc" and cfg.core_impl == "pallas":
+        from ..ops.pallas.core import core_taps
+
+        params = {**params, "_core_taps": core_taps(params, voxel_seq.dtype)}
 
     parity_io = (
         cfg.io_layout == "parity"
