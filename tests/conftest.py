@@ -17,3 +17,15 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compile cache: the suite is compile-bound on this 1-core
+# host (~50 min cold); warm reruns skip every previously-seen program. Same
+# cache dir the dryrun/distributed subprocesses use (__graft_entry__.py).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
