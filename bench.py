@@ -178,6 +178,36 @@ def bench_v2e_pack(n_frames: int = 10, hw=(180, 240), chain: int = 20) -> float:
     return best
 
 
+def wait_for_backend(max_wait_s: float) -> bool:
+    """Wait for the TPU backend to become reachable.
+
+    The tunneled platform can be down for extended periods with
+    ``jax.devices()`` blocking indefinitely (observed: multi-hour outages);
+    probing in a SUBPROCESS keeps this process's backend state clean and
+    lets us bound each attempt. Returns False if the backend never came up.
+    """
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        attempt += 1
+        if time.time() >= deadline:
+            return False
+        print(f"[bench] TPU backend unavailable (attempt {attempt}); retrying",
+              file=sys.stderr, flush=True)
+        time.sleep(min(300.0, max(0.0, deadline - time.time())))
+
+
 def main():
     if "--torch-cpu" in sys.argv:
         fps = measure_torch_cpu_fps()
@@ -187,6 +217,11 @@ def main():
             f"({eff/1e9:.1f} GFLOP/s effective)"
         )
         return
+
+    if not wait_for_backend(float(os.environ.get("V2E2V_BENCH_WAIT_S", "3600"))):
+        print("[bench] TPU backend unreachable after wait budget; no "
+              "measurement possible", file=sys.stderr)
+        sys.exit(3)
 
     # Remote compile times on this platform vary 10s-500s per program; the
     # headline must always land, so measure it first and fit the secondary
