@@ -36,6 +36,7 @@ def build_model(cfgs):
         depth=cfgs.depth,
         num_bins=cfgs.num_bins,
         model_mode=cfgs.model_mode,
+        quant=getattr(cfgs, "quant", "none"),
     )
     path = cfgs.path_to_test_model
     if path.endswith((".pth.tar", ".pth", ".pt")):
@@ -157,6 +158,7 @@ class Reconstructor:
                     depth=self.cfgs.depth,
                     num_bins=self.cfgs.num_bins,
                     model_mode=self.cfgs.model_mode,
+                    quant=getattr(self.cfgs, "quant", "none"),
                 )
                 dtype = (
                     jnp.bfloat16 if self.cfgs.precision == "bfloat16" else jnp.float32

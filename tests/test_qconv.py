@@ -1,0 +1,105 @@
+"""Int8 quantized inference path (ops/qconv.py, CistaConfig.quant).
+
+Three layers of evidence:
+1. the integer core is EXACT — qconv2d's int8 x int8 -> int32 conv matches
+   a numpy integer oracle bit-for-bit;
+2. quantization fidelity — qconv2d tracks the float conv within the error
+   budget implied by 8-bit rounding on random weights/activations;
+3. the quantized CISTA-LSTC step/sequence stays close to the float path
+   (relative error small, no drift blowup over a short recurrence).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from v2e2v_tpu.models.cista import (
+    CistaConfig,
+    cista_sequence,
+    cista_zero_state,
+    init_cista_lstc,
+)
+from v2e2v_tpu.ops.conv import conv2d, conv_init
+from v2e2v_tpu.ops.qconv import (
+    qconv2d,
+    quantize_activation,
+    quantize_conv_params,
+)
+
+
+def test_qconv_integer_core_exact_vs_numpy():
+    """The int8 conv accumulates EXACTLY like integer numpy."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 12, 14, 6), jnp.float32)
+    p = conv_init(jax.random.fold_in(key, 1), 6, 8, 3)
+    qp = quantize_conv_params(p)
+
+    x_q, s_x = quantize_activation(x)
+    xp = np.pad(
+        np.asarray(x_q, np.int32),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+        mode="reflect",
+    )
+    w = np.asarray(qp["w_q"], np.int32)
+    b, h, wdt, cin = x.shape
+    cout = w.shape[3]
+    ref = np.zeros((b, h, wdt, cout), np.int64)
+    for dy in range(3):
+        for dx in range(3):
+            ref += np.einsum(
+                "bhwc,co->bhwo",
+                xp[:, dy : dy + h, dx : dx + wdt, :],
+                w[dy, dx],
+                dtype=np.int64,
+            )
+    got = qconv2d(x, qp)
+    expect = ref.astype(np.float32) * (
+        float(s_x) * np.asarray(qp["s_w"], np.float32)
+    ) + np.asarray(qp["bias"], np.float32)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-6, atol=1e-6)
+
+
+def test_qconv_fidelity_vs_float():
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, 24, 32, 64), jnp.float32)
+    p = conv_init(jax.random.fold_in(key, 1), 64, 64, 3)
+    y_f = conv2d(x, p, padding=1)
+    y_q = qconv2d(x, quantize_conv_params(p))
+    # 8-bit symmetric on gaussian data: relative L2 error well under 2%
+    err = float(jnp.linalg.norm(y_q - y_f) / jnp.linalg.norm(y_f))
+    assert err < 0.02, err
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_quant_sequence_tracks_float(dtype):
+    """int8 CISTA-LSTC over a short recurrence stays near the float path."""
+    cfg = CistaConfig(image_dim=(32, 40), base_channels=16, depth=3, num_bins=5)
+    cfg_q = CistaConfig(
+        image_dim=(32, 40), base_channels=16, depth=3, num_bins=5, quant="int8"
+    )
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    seq = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (4, 2, 32, 40, 5), dtype)
+    params_c = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
+    state = cista_zero_state(cfg, 2, dtype)
+
+    recs_f, _ = jax.jit(lambda p, s: cista_sequence(p, cfg, s, state=state))(
+        params_c, seq
+    )
+    recs_q, _ = jax.jit(lambda p, s: cista_sequence(p, cfg_q, s, state=state))(
+        params_c, seq
+    )
+    recs_f = np.asarray(recs_f, np.float32)
+    recs_q = np.asarray(recs_q, np.float32)
+    # sigmoid outputs in [0,1]; require small mean deviation INCLUDING the
+    # last step (no compounding blowup through the recurrence)
+    assert np.mean(np.abs(recs_q - recs_f)) < 0.03
+    assert np.mean(np.abs(recs_q[-1] - recs_f[-1])) < 0.05
+
+
+def test_quant_rejects_cista_tc():
+    cfg = CistaConfig(model_mode="cista-tc", quant="int8")
+    with pytest.raises(ValueError):
+        from v2e2v_tpu.models.cista import get_step_fn
+
+        get_step_fn(cfg)

@@ -79,6 +79,15 @@ class CistaConfig:
     # ops/pallas/core.py) — flat [HW, C] layout, conv taps as sublane
     # slices, no relayouts. Opt-in pending measured wins on real hardware.
     core_impl: str = "xla"
+    # 'none' (default) or 'int8': post-training-quantized INFERENCE for the
+    # half-res core convs (weights per-out-channel, activations dynamic
+    # per-tensor, exact int32 accumulation; ops/qconv.py). The MXU's int8
+    # rate is 2x bf16, and the core's 64-out-channel convs are the
+    # lane-bound hot spot (BENCH_NOTES.md stage ablation). Inference only
+    # (no gradients through rounding); quality vs the float path is
+    # checkpoint-dependent — validate with scripts/bench_quant.py before
+    # serving with it. cista-lstc only.
+    quant: str = "none"
     # sequence IO layout inside ``cista_sequence``: 'full' keeps the
     # reference layout per step; 'parity' (cista-lstc + fullres_impl='fused'
     # + even dims only) space-to-depth-packs the voxel/image IO ONCE outside
@@ -303,6 +312,51 @@ def cista_lstc_step(
     return rec, CistaState(cell=cell, z=z, dg=dg_state)
 
 
+def cista_lstc_step_int8(
+    params: Params,
+    cfg: CistaConfig,
+    events: jax.Array,
+    prev_image: jax.Array,
+    state: CistaState,
+) -> tuple[jax.Array, CistaState]:
+    """``cista_lstc_step`` with the half-res core in int8 (``cfg.quant``).
+
+    Heads and upsample/final run the regular float path; ConvLSTC, the ISTA
+    depth loop, the decoder conv and the ConvLSTM use ``ops.qconv``. The
+    quantized weights are read from ``params['_quant']`` when present
+    (injected once per call by ``cista_sequence``) so requantization doesn't
+    ride the scan.
+    """
+    from ..ops.qconv import (
+        qconv2d,
+        qconv_lstc_step,
+        qconv_lstm_step,
+        quantize_cista_core,
+    )
+
+    qp = params.get("_quant")
+    if qp is None:
+        qp = quantize_cista_core(params)
+
+    x1 = _heads(params, cfg, events, prev_image)
+    z, cell = qconv_lstc_step(qp["lstc"], x1, state.z, state.cell)
+
+    lam = params["lista"]["Lambda"]
+    tmp = z
+    for _ in range(cfg.depth):
+        tmp = qconv2d(tmp, qp["D"])
+        x = x1 - tmp
+        x = qconv2d(x, qp["P"])
+        x = x + z
+        z = softshrink(x, lam)
+        tmp = z
+
+    x = jax.nn.relu(qconv2d(z, qp["dg_conv"]))
+    rec, dg_state = qconv_lstm_step(qp["lstm"], x, state.dg)
+    rec = _upsample_final(params, cfg, rec, upsamp_activation="relu")
+    return jax.nn.sigmoid(rec), CistaState(cell=cell, z=z, dg=dg_state)
+
+
 def cista_lstc_step_parity(
     params: Params,
     cfg: CistaConfig,
@@ -394,8 +448,12 @@ def cista_tc_step(
 
 def get_step_fn(cfg: CistaConfig):
     if cfg.model_mode == "cista-lstc":
+        if cfg.quant == "int8":
+            return cista_lstc_step_int8
         return cista_lstc_step
     if cfg.model_mode == "cista-tc":
+        if cfg.quant == "int8":
+            raise ValueError("quant='int8' supports cista-lstc only")
         return cista_tc_step
     raise ValueError(f"model_mode must be 'cista-lstc' or 'cista-tc', got {cfg.model_mode!r}")
 
@@ -450,10 +508,17 @@ def cista_sequence(
         from ..ops.pallas.core import core_taps
 
         params = {**params, "_core_taps": core_taps(params, voxel_seq.dtype)}
+    if cfg.quant == "int8":
+        if cfg.model_mode != "cista-lstc":
+            raise ValueError("quant='int8' supports cista-lstc only")
+        from ..ops.qconv import quantize_cista_core
+
+        params = {**params, "_quant": quantize_cista_core(params)}
 
     parity_io = (
         cfg.io_layout == "parity"
         and cfg.model_mode == "cista-lstc"
+        and cfg.quant == "none"  # int8 core goes through get_step_fn
         and cfg.fullres_impl == "fused"
         and cfg.image_dim[0] % 2 == 0
         and cfg.image_dim[1] % 2 == 0

@@ -1,0 +1,156 @@
+"""Int8-quantized conv primitives for CISTA inference (TPU MXU int8 path).
+
+Why: the CISTA step's half-res core convs are 64-out-channel 3x3s that
+sustain 86-98 TFLOP/s bf16 on v5e (BENCH_NOTES.md stage ablation) — well
+under the MXU's int8 rate (2x bf16). This module provides a
+weights-per-output-channel / activations-dynamic-per-tensor symmetric int8
+conv whose integer core is EXACT (int8 x int8 -> int32 accumulation), so
+the only quantization error is the two rounding steps.
+
+Scheme (standard symmetric post-training quantization):
+
+- weights:      ``s_w[o] = max|w[..., o]| / 127``; ``w_q = round(w / s_w)``
+                precomputed once per checkpoint (``quantize_conv_params``).
+- activations:  ``s_x = max|x| / 127`` computed on the fly per conv input
+                (one VPU reduction, fused by XLA into the producer);
+                ``x_q = clip(round(x / s_x), -127, 127)``.
+- conv:         ``lax.conv_general_dilated(x_q, w_q,
+                preferred_element_type=int32)`` — exact integer math
+                (|acc| <= 9 * 256 * 127^2 ~ 3.7e7 << 2^31).
+- dequant:      ``y = acc * (s_x * s_w) + bias`` in f32, cast back to the
+                activation dtype.
+
+Reflect padding happens on the int8 tensor (pure copy, exact, and 4x
+cheaper than the f32 pad); the strip-conv fast path from ``ops/conv.py`` is
+unnecessary here.
+
+This is an INFERENCE path: no gradients are defined through the rounding.
+Quality is validated at the metric level against the fp32/bf16 paths on
+trained checkpoints (tests/test_qconv.py, scripts/bench_quant.py).
+
+Reference parity note: the reference (lsying009/V2E2V) has no quantized
+path; this is a net-new serving capability. It is opt-in via
+``CistaConfig.quant='int8'`` and changes nothing by default.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def quantize_conv_params(params: Params) -> Params:
+    """Per-output-channel symmetric int8 quantization of a conv layer.
+
+    ``{"weight": [k,k,in,out] f32, "bias"?: [out]}`` ->
+    ``{"w_q": int8, "s_w": f32 [out], "bias"?: f32}``.
+    """
+    w = params["weight"].astype(jnp.float32)
+    s_w = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+    s_w = jnp.where(s_w == 0, 1.0, s_w)
+    w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+    out: Params = {"w_q": w_q, "s_w": s_w}
+    if "bias" in params:
+        out["bias"] = params["bias"].astype(jnp.float32)
+    return out
+
+
+def quantize_activation(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Dynamic per-tensor symmetric int8: returns ``(x_q int8, s_x f32 scalar)``."""
+    s_x = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+    s_x = jnp.where(s_x == 0, 1.0, s_x)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127).astype(jnp.int8)
+    return x_q, s_x
+
+
+def qconv2d(
+    x: jax.Array,
+    qp: Params,
+    padding: int = 1,
+    stride: int = 1,
+    pad_mode: str = "reflect",
+    out_dtype=None,
+) -> jax.Array:
+    """Quantized conv matching ``ops.conv.conv2d`` semantics (up to rounding)."""
+    x_q, s_x = quantize_activation(x)
+    if padding > 0:
+        x_q = jnp.pad(
+            x_q,
+            ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+            mode=pad_mode if pad_mode != "zeros" else "constant",
+        )
+    acc = jax.lax.conv_general_dilated(
+        x_q,
+        qp["w_q"],
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (s_x * qp["s_w"])
+    if "bias" in qp:
+        y = y + qp["bias"]
+    return y.astype(out_dtype if out_dtype is not None else x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# quantized recurrent cells (mirror ops/conv.py semantics)
+# ---------------------------------------------------------------------------
+
+def qconv_lstc_step(
+    qp: Params,
+    x: jax.Array,
+    z: jax.Array,
+    prev_cell: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Int8 ``conv_lstc_step``: gates/P0/out_gates quantized, cell math float."""
+    gates = qconv2d(jnp.concatenate([x, z], axis=-1), qp["gates"])
+    in_g, forget_g = jnp.split(gates, 2, axis=-1)
+    in_g = jax.nn.sigmoid(in_g)
+    forget_g = jax.nn.sigmoid(forget_g)
+    z0 = qconv2d(x, qp["P0"])
+    out_g = jax.nn.sigmoid(qconv2d(jnp.concatenate([z0, z], axis=-1), qp["out_gates"]))
+    cell = forget_g * prev_cell + in_g * z0
+    return out_g * jnp.tanh(cell), cell
+
+
+def qconv_lstm_step(
+    qp: Params,
+    x: jax.Array,
+    state: tuple[jax.Array, jax.Array],
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """Int8 ``conv_lstm_step``: the 4-gate conv quantized, cell math float."""
+    hidden, cell = state
+    gates = qconv2d(jnp.concatenate([x, hidden], axis=-1), qp["Gates"])
+    in_g, rem_g, out_g, cell_g = jnp.split(gates, 4, axis=-1)
+    cell = jax.nn.sigmoid(rem_g) * cell + jax.nn.sigmoid(in_g) * jnp.tanh(cell_g)
+    hidden = jax.nn.sigmoid(out_g) * jnp.tanh(cell)
+    return hidden, (hidden, cell)
+
+
+def quantize_cista_core(params: Params) -> Params:
+    """Precompute int8 weights for the CISTA-LSTC half-res core.
+
+    Covers the convs the stage ablation shows lane-bound at bf16: ConvLSTC
+    (gates/P0/out_gates), the weight-tied ISTA pair (D/P), the decoder conv
+    and the ConvLSTM gates. Heads and upsample/final stay float (they are
+    cheap fused ops and the output conv dominates visual quality).
+    """
+    lstc = params["P0"]
+    return {
+        "lstc": {
+            "gates": quantize_conv_params(lstc["gates"]),
+            "P0": quantize_conv_params(lstc["P0"]),
+            "out_gates": quantize_conv_params(lstc["out_gates"]),
+        },
+        "D": quantize_conv_params(params["lista"]["D"]),
+        "P": quantize_conv_params(params["lista"]["P"]),
+        "dg_conv": quantize_conv_params(params["Dg"]["conv"]),
+        "lstm": {"Gates": quantize_conv_params(params["Dg"]["lstm"]["Gates"])},
+    }

@@ -76,6 +76,12 @@ class StreamPool:
         self.capacity = capacity
         self.dtype = dtype
         self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+        if cfg.quant == "int8":
+            # quantize ONCE from the original (f32) weights — not per step,
+            # and not from the serving-dtype cast
+            from .ops.qconv import quantize_cista_core
+
+            self.params = {**self.params, "_quant": quantize_cista_core(params)}
         h, w = cfg.image_dim
         self._states = cista_zero_state(cfg, capacity, dtype)
         self._prev = jnp.zeros((capacity, h, w, 1), dtype)

@@ -140,6 +140,14 @@ def set_configs(parser: argparse.ArgumentParser) -> None:
                      help="PRNG for emulator noise: 'rbg' uses the TPU "
                           "hardware-friendly generator (~10x faster random "
                           "streams than threefry; v2e pack 30 -> 3 ms)")
+    tpu.add_argument("--quant", default="none", type=str,
+                     choices=["none", "int8"],
+                     help="Post-training int8 quantization of the CISTA "
+                          "half-res core for INFERENCE (cista-lstc only): "
+                          "weights per-out-channel, activations dynamic "
+                          "per-tensor, exact int32 accumulation — the MXU "
+                          "int8 rate is 2x bf16. Validate metrics with "
+                          "test_e2v.py before serving (see ops/qconv.py)")
     tpu.add_argument("--profile_dir", default=None, type=str,
                      help="If set, write a jax.profiler trace here")
     tpu.add_argument("--debug_nans", dest="debug_nans", action="store_true",
