@@ -76,14 +76,16 @@ def measure_torch_cpu_fps(steps: int = 5) -> float:
     return steps / dt
 
 
-def bench_e2v(batch: int, steps: int = 64, dtype=jnp.float32, chain: int = 6) -> float:
+def bench_e2v(batch: int, steps: int = 64, dtype=jnp.float32, chain: int = 6,
+              quant: str = "none") -> float:
     from v2e2v_tpu.models.cista import (
         CistaConfig,
         cista_sequence,
         init_cista_lstc,
     )
 
-    cfg = CistaConfig(image_dim=(180, 240), base_channels=64, depth=5, num_bins=5)
+    cfg = CistaConfig(image_dim=(180, 240), base_channels=64, depth=5, num_bins=5,
+                      quant=quant)
     params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
     params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
 
@@ -233,6 +235,8 @@ def main():
 
     extras = {}
     for name, fn in (
+        ("e2v_int8_b16_fps",
+         lambda: bench_e2v(batch=16, dtype=jnp.bfloat16, quant="int8")),
         ("e2v_bf16_b8_fps", lambda: bench_e2v(batch=8, dtype=jnp.bfloat16)),
         ("e2v_fp32_b8_fps", lambda: bench_e2v(batch=8)),
         ("e2v_fp32_b1_fps", lambda: bench_e2v(batch=1)),

@@ -81,6 +81,30 @@ def test_pool_capacity_enforced():
         pool.attach()
 
 
+def test_pool_int8_tracks_float():
+    """A quant='int8' pool steps through the quantized core (ops/qconv) and
+    stays near the float pool on the same stream — the serving-side wiring
+    of CistaConfig.quant (params['_quant'] injected once at pool build)."""
+    cfg = CistaConfig(image_dim=(H, W), base_channels=8, depth=2, num_bins=NB)
+    cfg_q = CistaConfig(
+        image_dim=(H, W), base_channels=8, depth=2, num_bins=NB, quant="int8"
+    )
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    pool_f = StreamPool(cfg, params, capacity=2, dtype=jnp.float32)
+    pool_q = StreamPool(cfg_q, params, capacity=2, dtype=jnp.float32)
+    assert "_quant" in pool_q.params and "_quant" not in pool_f.params
+
+    a = pool_f.attach()
+    b = pool_q.attach()
+    for i in range(3):
+        vox = _vox(i)
+        out_f = pool_f.step({a: vox})[a]
+        out_q = pool_q.step({b: vox})[b]
+        # sigmoid outputs in [0,1]; int8 rounding stays small through the
+        # recurrence (same budget as tests/test_qconv.py)
+        assert np.mean(np.abs(out_q - out_f)) < 0.05
+
+
 def test_pool_supports_cista_tc():
     """StreamPool routes through get_step_fn: a cista-tc pool must step and
     match the direct cista_tc_step recurrence."""
