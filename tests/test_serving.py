@@ -105,6 +105,52 @@ def test_pool_int8_tracks_float():
         assert np.mean(np.abs(out_q - out_f)) < 0.05
 
 
+def test_pool_mesh_sharded_matches_single_device():
+    """A pool with slots sharded over a 4-way data mesh must produce the
+    SAME outputs as the unsharded pool (params replicated, states/voxels
+    P('data')) — the multi-chip serving path, on virtual CPU devices."""
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from v2e2v_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    cfg = CistaConfig(image_dim=(H, W), base_channels=8, depth=2, num_bins=NB)
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    pool_1 = StreamPool(cfg, params, capacity=4, dtype=jnp.float32)
+    pool_m = StreamPool(cfg, params, capacity=4, dtype=jnp.float32, mesh=mesh)
+
+    sids_1 = [pool_1.attach() for _ in range(4)]
+    sids_m = [pool_m.attach() for _ in range(4)]
+    for i in range(3):
+        feed = {s: _vox(10 * i + j) for j, s in enumerate(sids_1)}
+        feed_m = {s: _vox(10 * i + j) for j, s in enumerate(sids_m)}
+        out_1 = pool_1.step(feed)
+        out_m = pool_m.step(feed_m)
+        for s1, sm in zip(sids_1, sids_m):
+            np.testing.assert_allclose(out_m[sm], out_1[s1], atol=1e-5)
+    # detach/attach keeps working against sharded state
+    pool_m.detach(sids_m[0])
+    fresh = pool_m.attach()
+    out = pool_m.step({fresh: _vox(0)})[fresh]
+    assert np.isfinite(out).all()
+
+
+def test_pool_mesh_capacity_divisibility():
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from v2e2v_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    cfg = CistaConfig(image_dim=(H, W), base_channels=8, depth=2, num_bins=NB)
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="divisible"):
+        StreamPool(cfg, params, capacity=6, dtype=jnp.float32, mesh=mesh)
+
+
 def test_pool_supports_cista_tc():
     """StreamPool routes through get_step_fn: a cista-tc pool must step and
     match the direct cista_tc_step recurrence."""

@@ -14,6 +14,11 @@ Typical use:
     sid = pool.attach()                    # new camera stream
     recs = pool.step({sid: voxel_grid})    # step any subset; others idle
     pool.detach(sid)
+
+Multi-chip: pass ``mesh=make_mesh(...)`` to shard slots (and their
+recurrent states) across the mesh's ``data`` axis — pool throughput scales
+with chips, params replicated, XLA places the per-slot compute shard-local
+(tests/test_serving.py::test_pool_mesh_sharded_matches_single_device).
 """
 
 from __future__ import annotations
@@ -23,6 +28,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .models.cista import CistaConfig, cista_zero_state, get_step_fn
 
@@ -71,7 +78,13 @@ class StreamPool:
         params,
         capacity: int = 8,
         dtype=jnp.bfloat16,
+        mesh: Mesh | None = None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``"data"`` axis —
+        slots (and their states) shard across it, so pool throughput scales
+        with chips while the API stays single-process (params replicated;
+        the per-step ``voxels``/``active`` uploads are placed shard-local).
+        ``capacity`` must be divisible by the data-axis size."""
         self.cfg = cfg
         self.capacity = capacity
         self.dtype = dtype
@@ -85,6 +98,19 @@ class StreamPool:
         h, w = cfg.image_dim
         self._states = cista_zero_state(cfg, capacity, dtype)
         self._prev = jnp.zeros((capacity, h, w, 1), dtype)
+        self._slot_shard = None
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            if capacity % n_data:
+                raise ValueError(
+                    f"capacity {capacity} must be divisible by the mesh "
+                    f"data axis ({n_data})"
+                )
+            self._slot_shard = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, rep)
+            self._states = jax.device_put(self._states, self._slot_shard)
+            self._prev = jax.device_put(self._prev, self._slot_shard)
         self._active = np.zeros(capacity, bool)
         self._next_id = 0
         self._slot_of: dict[int, int] = {}
@@ -98,6 +124,11 @@ class StreamPool:
         self._states, self._prev = _reset_slot(
             self.cfg, self._states, self._prev, slot
         )
+        if self._slot_shard is not None:
+            # keep the slot sharding pinned (a dynamic-update-slice along the
+            # sharded dim can come back replicated); no-op when unchanged
+            self._states = jax.device_put(self._states, self._slot_shard)
+            self._prev = jax.device_put(self._prev, self._slot_shard)
         self._active[slot] = True
         sid = self._next_id
         self._next_id += 1
@@ -127,13 +158,18 @@ class StreamPool:
             voxels[slot] = vox
             active[slot] = True
 
+        voxels_dev = jnp.asarray(voxels, self.dtype)
+        active_dev = jnp.asarray(active)
+        if self._slot_shard is not None:
+            voxels_dev = jax.device_put(voxels_dev, self._slot_shard)
+            active_dev = jax.device_put(active_dev, self._slot_shard)
         recs, self._states = _pool_step(
             self.params,
             self.cfg,
             self._states,
             self._prev,
-            jnp.asarray(voxels, self.dtype),
-            jnp.asarray(active),
+            voxels_dev,
+            active_dev,
         )
         self._prev = recs
         if not fetch:
