@@ -97,9 +97,21 @@ def test_quant_sequence_tracks_float(dtype):
     assert np.mean(np.abs(recs_q[-1] - recs_f[-1])) < 0.05
 
 
-def test_quant_rejects_cista_tc():
-    cfg = CistaConfig(model_mode="cista-tc", quant="int8")
-    with pytest.raises(ValueError):
-        from v2e2v_tpu.models.cista import get_step_fn
+def test_quant_sequence_tracks_float_cista_tc():
+    """int8 CISTA-TC (plain P0, ISTA pair, decoder, ConvLSTM quantized;
+    attention projections float) tracks the float path."""
+    from v2e2v_tpu.models.cista import init_cista_tc
 
-        get_step_fn(cfg)
+    kw = dict(image_dim=(32, 40), base_channels=16, depth=3, num_bins=5,
+              model_mode="cista-tc")
+    cfg = CistaConfig(**kw)
+    cfg_q = CistaConfig(**kw, quant="int8")
+    params = init_cista_tc(jax.random.PRNGKey(0), cfg)
+    seq = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (4, 2, 32, 40, 5))
+
+    recs_f, _ = jax.jit(lambda p, s: cista_sequence(p, cfg, s))(params, seq)
+    recs_q, _ = jax.jit(lambda p, s: cista_sequence(p, cfg_q, s))(params, seq)
+    recs_f = np.asarray(recs_f, np.float32)
+    recs_q = np.asarray(recs_q, np.float32)
+    assert np.mean(np.abs(recs_q - recs_f)) < 0.03
+    assert np.mean(np.abs(recs_q[-1] - recs_f[-1])) < 0.05

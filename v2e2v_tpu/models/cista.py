@@ -86,7 +86,7 @@ class CistaConfig:
     # lane-bound hot spot (BENCH_NOTES.md stage ablation). Inference only
     # (no gradients through rounding); quality vs the float path is
     # checkpoint-dependent — validate with scripts/bench_quant.py before
-    # serving with it. cista-lstc only.
+    # serving with it. Supported by both model modes.
     quant: str = "none"
     # sequence IO layout inside ``cista_sequence``: 'full' keeps the
     # reference layout per step; 'parity' (cista-lstc + fullres_impl='fused'
@@ -446,6 +446,53 @@ def cista_tc_step(
     return rec, CistaState(cell=state.cell, z=z, dg=dg_state)
 
 
+def cista_tc_step_int8(
+    params: Params,
+    cfg: CistaConfig,
+    events: jax.Array,
+    prev_image: jax.Array,
+    state: CistaState,
+) -> tuple[jax.Array, CistaState]:
+    """``cista_tc_step`` with the wide core convs in int8 (``cfg.quant``).
+
+    Quantized: plain-conv ``P0``, the weight-tied ISTA D/P pair, the decoder
+    conv, the ConvLSTM gates. Float: heads, the 1-channel attention
+    projections + ``alpha`` (rounding-sensitive sigmoid gate, ~1% of FLOPs),
+    upsample/final. Weights come precomputed in ``params['_quant']`` when
+    ``cista_sequence`` injected them; otherwise quantized here per call.
+    """
+    from ..ops.qconv import qconv2d, qconv_lstm_step, quantize_cista_tc_core
+
+    qp = params.get("_quant")
+    if qp is None:
+        qp = quantize_cista_tc_core(params)
+
+    x1 = _heads(params, cfg, events, prev_image)
+    z = qconv2d(x1, qp["P0"])
+    tmp = z
+    prev_z = state.z
+
+    one_ch_prev = conv_layer(prev_z, params["one_conv_for_prev"], padding=1)
+    lam = params["lista"]["Lambda"]
+    alpha = params["alpha"]
+    for _ in range(cfg.depth):
+        one_ch_cur = conv_layer(tmp, params["one_conv_for_cur"], padding=1)
+        attention = jax.nn.sigmoid(one_ch_prev * one_ch_cur)
+        temporal_z = attention * ((prev_z - tmp) * alpha)
+        tmp = qconv2d(tmp, qp["D"])
+        x = x1 - tmp
+        x = qconv2d(x, qp["P"])
+        x = x + z + temporal_z
+        z = softshrink(x, lam)
+        tmp = z
+
+    x = jax.nn.relu(qconv2d(z, qp["dg_conv"]))
+    rec, dg_state = qconv_lstm_step(qp["lstm"], x, state.dg)
+    rec = _upsample_final(params, cfg, rec, upsamp_activation=None)
+    rec = jax.nn.sigmoid(rec)
+    return rec, CistaState(cell=state.cell, z=z, dg=dg_state)
+
+
 def get_step_fn(cfg: CistaConfig):
     if cfg.model_mode == "cista-lstc":
         if cfg.quant == "int8":
@@ -453,7 +500,7 @@ def get_step_fn(cfg: CistaConfig):
         return cista_lstc_step
     if cfg.model_mode == "cista-tc":
         if cfg.quant == "int8":
-            raise ValueError("quant='int8' supports cista-lstc only")
+            return cista_tc_step_int8
         return cista_tc_step
     raise ValueError(f"model_mode must be 'cista-lstc' or 'cista-tc', got {cfg.model_mode!r}")
 
@@ -509,11 +556,9 @@ def cista_sequence(
 
         params = {**params, "_core_taps": core_taps(params, voxel_seq.dtype)}
     if cfg.quant == "int8":
-        if cfg.model_mode != "cista-lstc":
-            raise ValueError("quant='int8' supports cista-lstc only")
-        from ..ops.qconv import quantize_cista_core
+        from ..ops.qconv import quantize_core
 
-        params = {**params, "_quant": quantize_cista_core(params)}
+        params = {**params, "_quant": quantize_core(params, cfg.model_mode)}
 
     parity_io = (
         cfg.io_layout == "parity"

@@ -154,3 +154,30 @@ def quantize_cista_core(params: Params) -> Params:
         "dg_conv": quantize_conv_params(params["Dg"]["conv"]),
         "lstm": {"Gates": quantize_conv_params(params["Dg"]["lstm"]["Gates"])},
     }
+
+
+def quantize_core(params: Params, model_mode: str = "cista-lstc") -> Params:
+    """Dispatch: precompute int8 weights for the given CISTA variant."""
+    if model_mode == "cista-lstc":
+        return quantize_cista_core(params)
+    if model_mode == "cista-tc":
+        return quantize_cista_tc_core(params)
+    raise ValueError(f"unknown model_mode {model_mode!r}")
+
+
+def quantize_cista_tc_core(params: Params) -> Params:
+    """Precompute int8 weights for the CISTA-TC core.
+
+    Same coverage policy as LSTC: the wide convs quantize (plain-conv ``P0``,
+    weight-tied ISTA D/P, decoder conv, ConvLSTM gates); the 1-channel
+    attention projections ``one_conv_for_prev/cur`` and the ``alpha`` gain
+    stay float — they are a rounding-sensitive sigmoid gate and cost ~1% of
+    the step's FLOPs.
+    """
+    return {
+        "P0": quantize_conv_params(params["P0"]),
+        "D": quantize_conv_params(params["lista"]["D"]),
+        "P": quantize_conv_params(params["lista"]["P"]),
+        "dg_conv": quantize_conv_params(params["Dg"]["conv"]),
+        "lstm": {"Gates": quantize_conv_params(params["Dg"]["lstm"]["Gates"])},
+    }

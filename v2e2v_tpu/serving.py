@@ -92,9 +92,9 @@ class StreamPool:
         if cfg.quant == "int8":
             # quantize ONCE from the original (f32) weights — not per step,
             # and not from the serving-dtype cast
-            from .ops.qconv import quantize_cista_core
+            from .ops.qconv import quantize_core
 
-            self.params = {**self.params, "_quant": quantize_cista_core(params)}
+            self.params = {**self.params, "_quant": quantize_core(params, cfg.model_mode)}
         h, w = cfg.image_dim
         self._states = cista_zero_state(cfg, capacity, dtype)
         self._prev = jnp.zeros((capacity, h, w, 1), dtype)

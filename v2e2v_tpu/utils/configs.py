@@ -143,7 +143,7 @@ def set_configs(parser: argparse.ArgumentParser) -> None:
     tpu.add_argument("--quant", default="none", type=str,
                      choices=["none", "int8"],
                      help="Post-training int8 quantization of the CISTA "
-                          "half-res core for INFERENCE (cista-lstc only): "
+                          "core for INFERENCE (both model modes): "
                           "weights per-out-channel, activations dynamic "
                           "per-tensor, exact int32 accumulation — the MXU "
                           "int8 rate is 2x bf16. Validate metrics with "
