@@ -250,6 +250,7 @@ def test_device_data_step_matches_host_batch_step():
     p2, _, loss2 = dev_step(
         jax.tree_util.tree_map(lambda x: x.copy(), params),
         tx.init(params), data, gt_all, idx, jax.random.PRNGKey(0),
+        jnp.ones(2, jnp.float32),
     )
     assert float(loss1) == pytest.approx(float(loss2), rel=1e-6)
     jax.tree_util.tree_map(
@@ -257,6 +258,88 @@ def test_device_data_step_matches_host_batch_step():
             np.asarray(a), np.asarray(b), atol=1e-7, rtol=1e-6
         ),
         p1, p2,
+    )
+
+    # masked tail batch: padding idx to B=3 with weight 0 must give the SAME
+    # loss/params as the unpadded 2-sample batch (no data dropped per epoch)
+    dev_step3 = make_e2v_train_step_device_data(cfg, tx, mesh)
+    p3, _, loss3 = dev_step3(
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        tx.init(params), data, gt_all,
+        jnp.asarray([4, 1, 4], jnp.int32), jax.random.PRNGKey(0),
+        jnp.asarray([1.0, 1.0, 0.0], jnp.float32),
+    )
+    assert float(loss1) == pytest.approx(float(loss3), rel=1e-6)
+    # slightly looser than the B=2 case: reducing over B=3 (pad masked to an
+    # exact-zero loss contribution) changes f32 summation order, and adam
+    # normalization amplifies the ulp-level gradient differences
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
+        ),
+        p1, p3,
+    )
+
+
+def test_v2e2v_device_data_pad_sample_is_inert():
+    """In the V2E2V device-resident step, a weight-0 pad sample must not
+    influence loss or params: swapping WHICH sample pads the tail batch
+    changes nothing (the emulator still runs on it, but its loss
+    contribution is masked)."""
+    import optax
+
+    from v2e2v_tpu.models.cista import CistaConfig, init_cista_lstc
+    from v2e2v_tpu.models.emulator import EmulatorConfig
+    from v2e2v_tpu.models.v2e2v import V2E2VConfig
+    from v2e2v_tpu.parallel.mesh import (
+        make_mesh,
+        make_v2e2v_train_step_device_data,
+    )
+
+    h, w = 16, 20
+    cfg = CistaConfig(image_dim=(h, w), base_channels=8, depth=2, num_bins=5)
+    vcfg = V2E2VConfig(
+        cista=cfg,
+        emulator=EmulatorConfig(
+            pos_thres=0.3, neg_thres=0.3, sigma_thres=0.03,
+            refractory_period_s=0.001, leak_rate_hz=0.1, shot_noise_rate_hz=1.0,
+        ),
+    )
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    tx = optax.adam(1e-3)
+    mesh = make_mesh(1, 1)
+    step = make_v2e2v_train_step_device_data(vcfg, tx, mesh)
+
+    rng = np.random.default_rng(0)
+    n_samples, t_seq, n_frames = 5, 2, 4
+    frames_u8 = jnp.asarray(
+        rng.integers(30, 220, (n_samples, t_seq, n_frames, h, w)).astype(np.uint8)
+    )
+    ts_all = jnp.broadcast_to(
+        0.002 * jnp.arange(t_seq * n_frames, dtype=np.float32).reshape(
+            1, t_seq, n_frames
+        ),
+        (n_samples, t_seq, n_frames),
+    )
+    key = jax.random.PRNGKey(7)
+    mask = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
+
+    def run(idx):
+        p, _, loss, _aux = step(
+            jax.tree_util.tree_map(lambda x: x.copy(), params),
+            tx.init(params), frames_u8, ts_all,
+            jnp.asarray(idx, jnp.int32), key, mask,
+        )
+        return float(loss), p
+
+    loss_a, p_a = run([4, 1, 4])
+    loss_b, p_b = run([4, 1, 2])  # different pad sample, same real samples
+    assert loss_a == pytest.approx(loss_b, rel=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-7, rtol=1e-6
+        ),
+        p_a, p_b,
     )
 
 

@@ -125,6 +125,21 @@ def test_preprocess_hot_pixel_filter():
     assert out_dev[0, 0, 0] == 0.0
 
 
+def test_preprocess_std_is_per_sample():
+    """Batched normalization == stacking per-sample normalizations: one
+    sample's event statistics must not rescale another's grid (the reference
+    normalizes each grid independently; batch-size invariance on TPU)."""
+    rng = np.random.default_rng(3)
+    v = rng.normal(0.0, 2.0, (4, 5, 6, 6)).astype(np.float32)
+    v[rng.random(v.shape) < 0.6] = 0.0
+    v[2] *= 10.0  # an outlier sample must not perturb the others
+    batched = np.asarray(event_preprocess(jnp.asarray(v), mode="std"))
+    singly = np.stack(
+        [np.asarray(event_preprocess(jnp.asarray(s), mode="std")) for s in v]
+    )
+    np.testing.assert_allclose(batched, singly, atol=1e-6)
+
+
 def test_preprocess_all_zero_is_identity():
     v = np.zeros((5, 4, 4), np.float32)
     out = event_preprocess_np(v, mode="std")

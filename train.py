@@ -182,8 +182,8 @@ class Train:
         n = len(self.train_data)
         bsz = cfgs.batch_size
         if n % bsz:
-            print(f"note: dropping {n % bsz}-sample tail batch each epoch "
-                  f"(n={n}, batch_size={bsz}; static jit shapes)")
+            print(f"note: final {n % bsz}-sample batch each epoch is padded "
+                  f"to batch_size and loss-masked (n={n}, batch_size={bsz})")
         sat_clipped = 0
         sat_max_count = 0
         for epoch in range(cfgs.load_epoch_for_train, cfgs.epochs):
@@ -196,14 +196,22 @@ class Train:
                 np.random.default_rng(cfgs.seed + epoch).shuffle(order)
             n_batches = 0
             epoch_loss_sum = 0.0
-            for start in range(0, n - bsz + 1, bsz):
-                idx = jnp.asarray(order[start : start + bsz].astype(np.int32))
+            for start in range(0, n, bsz):
+                chunk = order[start : start + bsz].astype(np.int32)
+                w = np.ones(bsz, np.float32)
+                if len(chunk) < bsz:  # padded + masked tail batch
+                    w[len(chunk):] = 0.0
+                    chunk = np.concatenate(
+                        [chunk, np.full(bsz - len(chunk), chunk[0], np.int32)]
+                    )
+                idx = jnp.asarray(chunk)
                 # (epoch, batch) noise key — resume continues the stream
                 key = jax.random.fold_in(
                     jax.random.fold_in(self._noise_key, epoch), n_batches
                 )
                 self.params, self.opt_state, loss, aux = self.train_step(
-                    self.params, self.opt_state, frames_dev, ts_dev, idx, key
+                    self.params, self.opt_state, frames_dev, ts_dev, idx, key,
+                    jnp.asarray(w),
                 )
                 clip_now = int(aux["clipped_pixels"])
                 if clip_now:

@@ -175,11 +175,12 @@ class Train:
 
         if n % bsz:
             # jit needs a static batch shape, so the final partial batch is
-            # skipped — per-epoch reshuffling means samples are only skipped
-            # for that epoch, never permanently (reference DataLoader keeps
-            # the small tail; here that would cost a recompile per run)
-            print(f"note: dropping {n % bsz}-sample tail batch each epoch "
-                  f"(n={n}, batch_size={bsz})")
+            # padded to batch_size and the pad samples are loss-masked
+            # (sample_weights in many_to_one_loss) — no samples dropped, no
+            # recompile, and the reference DataLoader's drop_last=False
+            # semantics are preserved
+            print(f"note: final {n % bsz}-sample batch each epoch is padded "
+                  f"to batch_size and loss-masked (n={n}, batch_size={bsz})")
         step_idx = 0
         for epoch in range(cfgs.load_epoch_for_train, cfgs.epochs):
             lr = float(self.lr_for_epoch(epoch))
@@ -191,15 +192,23 @@ class Train:
                 np.random.default_rng(cfgs.seed + epoch).shuffle(order)
             n_batches = 0
             epoch_loss_sum = 0.0
-            for start in range(0, n - bsz + 1, bsz):
-                idx = jnp.asarray(order[start : start + bsz].astype(np.int32))
+            for start in range(0, n, bsz):
+                chunk = order[start : start + bsz].astype(np.int32)
+                w = np.ones(bsz, np.float32)
+                if len(chunk) < bsz:  # padded + masked tail batch
+                    w[len(chunk):] = 0.0
+                    chunk = np.concatenate(
+                        [chunk, np.full(bsz - len(chunk), chunk[0], np.int32)]
+                    )
+                idx = jnp.asarray(chunk)
                 # key from (epoch, batch-in-epoch): resume at epoch E continues
                 # the original run's noise stream instead of replaying epoch 0
                 key = jax.random.fold_in(
                     jax.random.fold_in(base_key, epoch), n_batches
                 )
                 self.params, self.opt_state, loss = self.train_step(
-                    self.params, self.opt_state, data_dev, gt_dev, idx, key
+                    self.params, self.opt_state, data_dev, gt_dev, idx, key,
+                    jnp.asarray(w),
                 )
                 loss = float(loss)
                 epoch_loss_sum += loss

@@ -222,22 +222,33 @@ def event_preprocess(
     """Device voxel normalization (reference ``event_preprocess_pytorch``,
     :157-177). Leading dims are batch; bins axis is ``-3``.
 
+    Statistics are PER SAMPLE (reduced over the trailing ``[bins, H, W]``
+    axes, leading batch dims preserved): the reference normalizes each voxel
+    grid independently — its effective batch is 1 (``v2e_model.py:524-526``
+    under the batch_size-1 recipe) — so batched TPU training must not let
+    one sample's event statistics rescale another's grid (it also keeps
+    results batch-size-invariant). For unbatched ``[bins, H, W]`` input this
+    reduces over everything, exactly the reference computation.
+
     Device-path hot-pixel threshold default is ``20 / num_bins``.
     """
     num_bins = voxel.shape[-3]
+    red = (-3, -2, -1)
     if filter_hot_pixel:
         thr = 20.0 / num_bins if hot_pixel_threshold is None else hot_pixel_threshold
         voxel = jnp.where(jnp.abs(voxel) > thr, 0.0, voxel)
     if mode == "maxmin":
-        vmin = jnp.min(voxel)
-        vmax = jnp.max(voxel)
+        vmin = jnp.min(voxel, axis=red, keepdims=True)
+        vmax = jnp.max(voxel, axis=red, keepdims=True)
         voxel = (voxel - vmin) / (vmax - vmin + 1e-8)
     elif mode == "std":
         nonzero = voxel != 0
-        num_nonzeros = jnp.sum(nonzero)
+        num_nonzeros = jnp.sum(nonzero, axis=red, keepdims=True)
         denom = jnp.maximum(num_nonzeros, 1).astype(jnp.float32)
-        mean = jnp.sum(voxel) / denom
-        stddev = jnp.sqrt(jnp.maximum(jnp.sum(voxel**2) / denom - mean**2, 0.0))
+        mean = jnp.sum(voxel, axis=red, keepdims=True) / denom
+        stddev = jnp.sqrt(
+            jnp.maximum(jnp.sum(voxel**2, axis=red, keepdims=True) / denom - mean**2, 0.0)
+        )
         normalized = nonzero.astype(jnp.float32) * (voxel - mean) / (stddev + 1e-8)
         voxel = jnp.where(num_nonzeros > 0, normalized, voxel)
     return voxel

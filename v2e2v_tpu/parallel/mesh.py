@@ -121,11 +121,14 @@ def make_e2v_train_step_device_data(
     # the gather-by-replicated-idx below crosses shards via XLA collectives
     ds_shard = NamedSharding(mesh, P("data"))
 
-    def loss_fn(params, voxel_seq, gt):
+    def loss_fn(params, voxel_seq, gt, w):
         recs, _ = cista_sequence(params, cfg, voxel_seq, remat=True)
-        return many_to_one_loss(recs[-1], gt, lpips_fn=lpips_fn)
+        return many_to_one_loss(recs[-1], gt, lpips_fn=lpips_fn, sample_weights=w)
 
-    def step(params, opt_state, data, gt_all, idx, key):
+    def step(params, opt_state, data, gt_all, idx, key, w):
+        # w [B]: 1.0 real / 0.0 padding — the final partial batch pads idx to
+        # the static batch shape and masks the loss, so NO samples are
+        # dropped and full batches (w=ones) keep the exact plain-mean loss
         voxel_seq = jnp.moveaxis(
             jnp.take(data, idx, axis=0), 1, 0
         ).astype(jnp.float32)
@@ -136,14 +139,14 @@ def make_e2v_train_step_device_data(
             )
         voxel_seq = jax.lax.with_sharding_constraint(voxel_seq, seq_shard)
         gt = jax.lax.with_sharding_constraint(gt, gt_shard)
-        loss, grads = jax.value_and_grad(loss_fn)(params, voxel_seq, gt)
+        loss, grads = jax.value_and_grad(loss_fn)(params, voxel_seq, gt, w)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     return jax.jit(
         step,
-        in_shardings=(rep, rep, ds_shard, ds_shard, rep, rep),
+        in_shardings=(rep, rep, ds_shard, ds_shard, rep, rep, rep),
         out_shardings=(rep, rep, rep),
         donate_argnums=(0, 1),
     )
@@ -166,9 +169,10 @@ def make_v2e2v_train_step_device_data(
     Ground truth is derived on-device (last frame / 255, exactly
     ``TrainSeqData._emit``), so no separate gt upload exists.
 
-    Step signature: ``(params, opt_state, frames_u8, ts_all, idx, key) ->
-    (params, opt_state, loss, stats)`` with the same ``stats`` dict as
-    ``make_v2e2v_train_step``.
+    Step signature: ``(params, opt_state, frames_u8, ts_all, idx, key,
+    w [B]) -> (params, opt_state, loss, stats)`` with the same ``stats``
+    dict as ``make_v2e2v_train_step``; ``w`` is 1.0 for real samples and
+    0.0 for tail-batch padding (loss-masked, so no samples are dropped).
     """
     from ..models.v2e2v import v2e2v_sequence
     from ..training.losses import many_to_one_loss
@@ -178,12 +182,12 @@ def make_v2e2v_train_step_device_data(
     frames_shard = NamedSharding(mesh, P(None, "data", None, None, None))
     ts_shard = NamedSharding(mesh, P(None, "data", None))
 
-    def loss_fn(params, frames_seq, ts_seq, gt, key):
+    def loss_fn(params, frames_seq, ts_seq, gt, key, w):
         recs, _, st = v2e2v_sequence(
             params, cfg, frames_seq, ts_seq, key, with_stats=True, remat=True
         )
         rec = jnp.clip(recs[-1], clamp[0], clamp[1])
-        loss = many_to_one_loss(rec, gt, lpips_fn=lpips_fn)
+        loss = many_to_one_loss(rec, gt, lpips_fn=lpips_fn, sample_weights=w)
         aux = {
             "num_events": jnp.sum(st["num_events"]),
             "max_event_count": jnp.max(st["max_event_count"]),
@@ -191,7 +195,8 @@ def make_v2e2v_train_step_device_data(
         }
         return loss, aux
 
-    def step(params, opt_state, frames_u8, ts_all, idx, key):
+    def step(params, opt_state, frames_u8, ts_all, idx, key, w):
+        # w [B]: 1.0 real / 0.0 padding — masked tail batch, no data dropped
         frames_seq = jnp.moveaxis(
             jnp.take(frames_u8, idx, axis=0), 1, 0
         ).astype(jnp.float32)  # [T, B, N, H, W]
@@ -200,7 +205,7 @@ def make_v2e2v_train_step_device_data(
         frames_seq = jax.lax.with_sharding_constraint(frames_seq, frames_shard)
         ts_seq = jax.lax.with_sharding_constraint(ts_seq, ts_shard)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, frames_seq, ts_seq, gt, key
+            params, frames_seq, ts_seq, gt, key, w
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -208,7 +213,7 @@ def make_v2e2v_train_step_device_data(
 
     return jax.jit(
         step,
-        in_shardings=(rep, rep, ds_shard, ds_shard, rep, rep),
+        in_shardings=(rep, rep, ds_shard, ds_shard, rep, rep, rep),
         out_shardings=(rep, rep, rep, rep),
         donate_argnums=(0, 1),
     )

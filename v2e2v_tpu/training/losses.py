@@ -75,6 +75,20 @@ def ssim(
     return jnp.mean(ssim_map)
 
 
+def _per_sample_ssim(img1: jax.Array, img2: jax.Array) -> jax.Array:
+    """Per-sample SSIM ``[B]`` (mean over space/channels per image)."""
+    c1, c2 = 0.01**2, 0.03**2
+    mu1 = _gaussian_blur(img1, 11, 1.5)
+    mu2 = _gaussian_blur(img2, 11, 1.5)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = _gaussian_blur(img1 * img1, 11, 1.5) - mu1_sq
+    s2 = _gaussian_blur(img2 * img2, 11, 1.5) - mu2_sq
+    s12 = _gaussian_blur(img1 * img2, 11, 1.5) - mu12
+    cs = (2 * s12 + c2) / (s1 + s2 + c2)
+    ssim_map = ((2 * mu12 + c1) / (mu1_sq + mu2_sq + c1)) * cs
+    return jnp.mean(ssim_map, axis=(1, 2, 3))
+
+
 def l1_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
     return jnp.mean(jnp.abs(pred - target))
 
@@ -83,11 +97,28 @@ def many_to_one_loss(
     final_rec: jax.Array,
     gt: jax.Array,
     lpips_fn=None,
+    sample_weights: jax.Array | None = None,
 ) -> jax.Array:
     """Reference training loss ``LPIPS + L1 + (1 - SSIM)``
     (``train_e2v.py:117-120``). ``lpips_fn(pred, target) -> scalar`` is
-    optional (omitted when LPIPS weights are unavailable)."""
-    loss = l1_loss(final_rec, gt) + (1.0 - ssim(final_rec, gt))
+    optional (omitted when LPIPS weights are unavailable).
+
+    ``sample_weights [B]`` (optional): weighted per-sample mean instead of
+    the batch mean — with 1.0 for real samples and 0.0 for padding it makes
+    a padded tail batch produce EXACTLY the loss/gradient of the unpadded
+    batch (same compiled shape, no data dropped; the all-ones case equals
+    the plain mean)."""
+    if sample_weights is None:
+        loss = l1_loss(final_rec, gt) + (1.0 - ssim(final_rec, gt))
+        if lpips_fn is not None:
+            loss = loss + lpips_fn(final_rec, gt)
+        return loss
+    w = sample_weights.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    per_l1 = jnp.mean(jnp.abs(final_rec - gt), axis=(1, 2, 3))
+    per = per_l1 + (1.0 - _per_sample_ssim(final_rec, gt))
     if lpips_fn is not None:
-        loss = loss + lpips_fn(final_rec, gt)
-    return loss
+        per = per + jax.vmap(lambda p, t: lpips_fn(p[None], t[None]))(
+            final_rec, gt
+        )
+    return jnp.sum(w * per) / denom
