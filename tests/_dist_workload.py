@@ -7,8 +7,14 @@ process boundary, so conv halo exchanges ride the cross-process collective
 path). Prints ``RESULT loss=<f> psum=<f>`` at the end; both modes must
 agree (tests/test_distributed.py).
 
+``build()`` is shared with ``__graft_entry__._dryrun_multichip_impl`` so the
+dryrun's single-process E2V leg IS this workload (same trace -> same
+compiled program -> one cold compile total between them).
+
 Env contract: ``V2E2V_COORDINATOR``/``V2E2V_NUM_PROCESSES``/
-``V2E2V_PROCESS_ID`` (unset = single process).
+``V2E2V_PROCESS_ID`` (unset = single process); optional
+``V2E2V_COMPILED_MARKER`` (file to touch once AOT compilation finishes, so
+a parent can stagger-launch the sibling process against a warm cache).
 """
 
 import os
@@ -35,15 +41,14 @@ from v2e2v_tpu.parallel.mesh import (  # noqa: E402
 )
 
 
-def main():
-    initialize_from_flags(None)
-    assert len(jax.devices()) == 8, f"need 8 global devices, {len(jax.devices())}"
-
+def build():
+    """Construct the deterministic workload: ``(step, params, opt_state,
+    batches)`` on a (data=4, spatial=2) mesh of the 8 global devices."""
     mesh = make_mesh(4, 2)
     t, b, h, w, nb, ch = 2, 4, 16, 32, 5, 8
     cfg = CistaConfig(image_dim=(h, w), base_channels=ch, depth=2, num_bins=nb)
     params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
-    tx = optax.adam(1e-3)
+    tx = optax.adam(1e-4)
     opt_state = tx.init(params)
     step = make_e2v_train_step(cfg, tx, mesh)
 
@@ -58,13 +63,38 @@ def main():
         batches.append(
             (global_batch(voxel_np, seq_shard), global_batch(gt_np, gt_shard))
         )
+    return step, params, opt_state, batches
 
-    # AOT-compile BEFORE the cross-process barrier: Gloo's context init has
-    # a hard ~30s key-exchange timeout at first dispatch, and per-process
-    # compile times vary minutes on this host (per-process cache keys). The
-    # coordination-service barrier below has a generous timeout, so after it
-    # both processes dispatch together and Gloo connects in milliseconds.
-    step.lower(params, opt_state, *batches[0]).compile()
+
+def run(step, params, opt_state, batches):
+    """AOT-compile, then run the 3 steps through the compiled executable.
+
+    AOT + calling the ``Compiled`` object directly (instead of re-dispatching
+    ``step``) guarantees exactly ONE compile per process; the compile
+    happens BEFORE the cross-process barrier because Gloo's context init has
+    a hard ~30s key-exchange timeout at first dispatch and per-process
+    compile times vary minutes on this 1-core host.
+    """
+    import time
+
+    wait_marker = os.environ.get("V2E2V_WAIT_MARKER")
+    if wait_marker:
+        # compile stagger (NOT registration stagger — jax.distributed init
+        # blocks until every process registers, so all processes must LAUNCH
+        # together): this process idles until the sibling finishes its cold
+        # compile, then compiles warm from the shared persistent cache —
+        # two concurrent cold compiles on a 1-core host each run at half
+        # speed for zero benefit. Bounded: proceed anyway after 10 min.
+        t0 = time.monotonic()
+        while not os.path.exists(wait_marker) and time.monotonic() - t0 < 600:
+            time.sleep(1.0)
+    compiled = step.lower(params, opt_state, *batches[0]).compile()
+    marker = os.environ.get("V2E2V_COMPILED_MARKER")
+    if marker:
+        # tells the parent it may now launch the sibling process (which
+        # then compiles warm from the persistent cache)
+        with open(marker, "w") as f:
+            f.write("ok")
     if os.environ.get("V2E2V_NUM_PROCESSES"):
         # coordination-service barrier (NOT a device collective — a device
         # collective here would itself race Gloo's 30s context-init window)
@@ -76,12 +106,19 @@ def main():
 
     loss = None
     for voxel, gt in batches:
-        params, opt_state, loss = step(params, opt_state, voxel, gt)
+        params, opt_state, loss = compiled(params, opt_state, voxel, gt)
 
     loss = float(loss)
     psum = float(
         sum(float(jax.numpy.abs(x).sum()) for x in jax.tree_util.tree_leaves(params))
     )
+    return loss, psum
+
+
+def main():
+    initialize_from_flags(None)
+    assert len(jax.devices()) == 8, f"need 8 global devices, {len(jax.devices())}"
+    loss, psum = run(*build())
     print(f"RESULT loss={loss:.6f} psum={psum:.4f}", flush=True)
 
 

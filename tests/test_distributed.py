@@ -13,6 +13,10 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _WORKLOAD = os.path.join(_HERE, "_dist_workload.py")
 

@@ -176,6 +176,14 @@ def v2e2v_sequence(
         assert key is not None, "key required to initialize V2E2V state"
         state = v2e2v_init_state(cfg, frames_seq[0], ts_seq[0], key)
 
+    if cfg.cista.fullres_impl == "fused" and "_fullres_fused" not in params:
+        # loop-invariant fused-kernel composition hoisted out of the scan
+        # (exactly like ``cista_sequence``): without this every scan step —
+        # and its remat'd backward — re-traces the weight-space kernel folds
+        from ..ops.fused import precompute_fused_kernels
+
+        params = {**params, "_fullres_fused": precompute_fused_kernels(params)}
+
     collect = with_monitor or with_stats
     fwd = lambda p, frames, ts, st: v2e2v_forward(  # noqa: E731
         p, cfg, frames, ts, st, with_stats=collect

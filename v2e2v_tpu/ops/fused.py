@@ -437,6 +437,21 @@ def _corner_apply(patch: jax.Array, k: jax.Array) -> jax.Array:
     return out.astype(patch.dtype)
 
 
+def _set_strip_ends(strip: jax.Array, first: jax.Array, last: jax.Array) -> jax.Array:
+    """Overwrite row 0 / row -1 of a ``[B, H, 1, C]`` column strip with
+    ``[B, C]`` corner values via iota-selects.
+
+    A ``.at[:, :1, 0].set`` here lowers to an XLA scatter; under a
+    batch-sharded mesh the SPMD partitioner cannot reshard that scatter and
+    falls back to "involuntary full rematerialization" (replicate +
+    repartition) in the BPTT backward — the multichip compile blows up. The
+    ``where`` select is elementwise and shards cleanly. Value-identical.
+    """
+    rr = jnp.arange(strip.shape[1])[:, None, None]
+    strip = jnp.where(rr == 0, first[:, None, None, :], strip)
+    return jnp.where(rr == strip.shape[1] - 1, last[:, None, None, :], strip)
+
+
 def upsample_conv_parity_edgek(
     params: Params, h: jax.Array, activation: str | None = None, kernels=None
 ) -> jax.Array:
@@ -458,10 +473,8 @@ def upsample_conv_parity_edgek(
     bl = _corner_apply(h[:, -2:, :2], bk["bl"]) + bbt
     br = _corner_apply(h[:, -2:, -2:], bk["br"]) + bbt
     # corners ride the left/right strips (cols win the where order below)
-    left = left.at[:, :1, 0].set(tl[:, None])
-    left = left.at[:, -1:, 0].set(bl[:, None])
-    right = right.at[:, :1, 0].set(tr[:, None])
-    right = right.at[:, -1:, 0].set(br[:, None])
+    left = _set_strip_ends(left, tl, bl)
+    right = _set_strip_ends(right, tr, br)
 
     hh, wh = h.shape[1], h.shape[2]
     ri = jnp.arange(hh)[:, None, None]
@@ -519,22 +532,46 @@ def final_conv_parity_edgek(
     )
     y = y_parity
     out = _conv(y, kk, padding=((1, 1), (1, 1))) + bb.astype(y.dtype)
-    out = out.at[:, :1].add(_conv(y[:, :1], fb["top"], padding=((0, 0), (1, 1))))
-    out = out.at[:, -1:].add(_conv(y[:, -1:], fb["bot"], padding=((0, 0), (1, 1))))
-    out = out.at[:, :, :1].add(_conv(y[:, :, :1], fb["left"], padding=((1, 1), (0, 0))))
-    out = out.at[:, :, -1:].add(_conv(y[:, :, -1:], fb["right"], padding=((1, 1), (0, 0))))
+    # additive border corrections folded in with iota-masked where-adds
+    # (an ``.at[].add`` lowers to an XLA scatter that the SPMD partitioner
+    # cannot reshard under a batch-sharded mesh — see _set_strip_ends; the
+    # masked adds fuse into one elementwise pass)
+    h2, w2 = y.shape[1], y.shape[2]
+    ri = jnp.arange(h2)[:, None, None]
+    ci = jnp.arange(w2)[:, None]
+    zero = jnp.zeros((), out.dtype)
+    out = out + jnp.where(
+        ri == 0, _conv(y[:, :1], fb["top"], padding=((0, 0), (1, 1))), zero
+    )
+    out = out + jnp.where(
+        ri == h2 - 1, _conv(y[:, -1:], fb["bot"], padding=((0, 0), (1, 1))), zero
+    )
+    out = out + jnp.where(
+        ci == 0, _conv(y[:, :, :1], fb["left"], padding=((1, 1), (0, 0))), zero
+    )
+    out = out + jnp.where(
+        ci == w2 - 1, _conv(y[:, :, -1:], fb["right"], padding=((1, 1), (0, 0))), zero
+    )
 
     c = kk.shape[2] // 4
 
-    def corner(val, k):  # [B, c] x [c, 4Cout] -> [B, 4Cout]
+    def corner(val, k):  # [B, c] x [c, 4Cout] -> [B, 1, 1, 4Cout]
         r = jnp.einsum("bi,io->bo", val, k.astype(val.dtype),
                        preferred_element_type=jnp.float32)
-        return r.astype(val.dtype)
+        return r.astype(val.dtype)[:, None, None, :]
 
-    out = out.at[:, 0, 0].add(corner(y[:, 0, 0, 3 * c :], fb["tl"]))
-    out = out.at[:, 0, -1].add(corner(y[:, 0, -1, 2 * c : 3 * c], fb["tr"]))
-    out = out.at[:, -1, 0].add(corner(y[:, -1, 0, c : 2 * c], fb["bl"]))
-    out = out.at[:, -1, -1].add(corner(y[:, -1, -1, : c], fb["br"]))
+    out = out + jnp.where(
+        (ri == 0) & (ci == 0), corner(y[:, 0, 0, 3 * c :], fb["tl"]), zero
+    )
+    out = out + jnp.where(
+        (ri == 0) & (ci == w2 - 1), corner(y[:, 0, -1, 2 * c : 3 * c], fb["tr"]), zero
+    )
+    out = out + jnp.where(
+        (ri == h2 - 1) & (ci == 0), corner(y[:, -1, 0, c : 2 * c], fb["bl"]), zero
+    )
+    out = out + jnp.where(
+        (ri == h2 - 1) & (ci == w2 - 1), corner(y[:, -1, -1, : c], fb["br"]), zero
+    )
     return out if packed else depth_to_space(out)
 
 
@@ -680,10 +717,8 @@ def heads_parity_edgek(
     tr = _corner_apply(xt[:, :3, -4:], hb["tr"]) + b5t
     bl = _corner_apply(xb[:, :, :3], hb["bl"]) + b5t
     br = _corner_apply(xb[:, :, -4:], hb["br"]) + b5t
-    left = left.at[:, :1, 0].set(tl[:, None])
-    left = left.at[:, -1:, 0].set(bl[:, None])
-    right = right.at[:, :1, 0].set(tr[:, None])
-    right = right.at[:, -1:, 0].set(br[:, None])
+    left = _set_strip_ends(left, tl, bl)
+    right = _set_strip_ends(right, tr, br)
 
     h2, w2 = y.shape[1], y.shape[2]
     ri = jnp.arange(h2)[:, None, None]
@@ -715,10 +750,8 @@ def heads_fused_edgek(
     tr = _corner_apply(x[:, :3, -4:], hb["tr"]) + b5t
     bl = _corner_apply(x[:, -4:, :3], hb["bl"]) + b5t
     br = _corner_apply(x[:, -4:, -4:], hb["br"]) + b5t
-    left = left.at[:, :1, 0].set(tl[:, None])
-    left = left.at[:, -1:, 0].set(bl[:, None])
-    right = right.at[:, :1, 0].set(tr[:, None])
-    right = right.at[:, -1:, 0].set(br[:, None])
+    left = _set_strip_ends(left, tl, bl)
+    right = _set_strip_ends(right, tr, br)
 
     h2, w2 = y.shape[1], y.shape[2]
     ri = jnp.arange(h2)[:, None, None]
