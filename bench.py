@@ -4,13 +4,17 @@ Headline metric: CISTA-LSTC E2V inference throughput (frames/sec/chip) at the
 reference config (180x240, 64ch, depth 5, 5 bins) — the per-chip throughput
 target from BASELINE.json. The recurrence is serial in time, so per-chip
 throughput = batched independent streams x a compiled ``lax.scan`` over time.
-Headline = bfloat16, batch 16 — the production serving dtype: bf16 inference
-matches fp32 eval metrics to the 4th decimal (MSE/PSNR/SSIM on a trained
-checkpoint; see BENCH_NOTES.md), far inside the 1%% parity budget. Batch 16
-is the measured per-chip sweet spot (0.448 ms/frame vs 0.464 at b=8; batch
-sweep table in BENCH_NOTES.md — serving batches independent streams, so
-any batch is throughput-legitimate). fp32 and batch-1 numbers are reported
-on stderr.
+Headline = the production serving mode: post-training INT8 core
+(``CistaConfig.quant='int8'``; the half-res convs run int8xint8->int32 on
+the MXU at 2x the bf16 rate) with bf16 heads/upsample, batch 16. Quality
+gates (BENCH_NOTES.md): int8 matches float SSIM to ~3 decimals / PSNR
+within 0.03 dB on a TRAINED checkpoint, and int8-vs-float divergence over a
+128-step recurrence is 67 dB PSNR — far inside the 1%% parity budget; bf16
+itself matches fp32 eval metrics to the 4th decimal. Batch 16 is the
+measured per-chip sweet spot (batch sweep table in BENCH_NOTES.md — serving
+batches independent streams, so any batch is throughput-legitimate). If the
+int8 path fails to compile/run, the headline falls back to bf16 b=16 (the
+round-3 headline). bf16/fp32/batch-1 numbers are reported on stderr.
 
 Timing methodology: on this tunneled TPU platform ``block_until_ready`` does
 NOT actually block, so each measurement chains N executions and forces a
@@ -227,31 +231,47 @@ def main():
 
     # Remote compile times on this platform vary 10s-500s per program; the
     # headline must always land, so measure it first and fit the secondary
-    # metrics into the remaining time budget.
+    # metrics into the remaining time budget. Round 3's 480s default lost
+    # the int8 number and ALL extras to one slow compile (BENCH_r03.json
+    # "budget hit") — the budget is generous now, each metric logs its own
+    # wall time, and the list is ordered most- to least-important so the
+    # budget starves the least important last.
     t_start = time.time()
-    budget_s = float(os.environ.get("V2E2V_BENCH_BUDGET_S", "480"))
+    budget_s = float(os.environ.get("V2E2V_BENCH_BUDGET_S", "1500"))
 
-    fps_head = bench_e2v(batch=16, dtype=jnp.bfloat16)
+    t0 = time.time()
+    head_mode = "int8 b=16"
+    try:
+        fps_head = bench_e2v(batch=16, dtype=jnp.bfloat16, quant="int8")
+    except Exception as e:
+        print(f"[bench] int8 headline failed ({e}); falling back to bf16",
+              file=sys.stderr, flush=True)
+        head_mode = "bf16 b=16"
+        fps_head = bench_e2v(batch=16, dtype=jnp.bfloat16)
+    print(f"[bench] headline {head_mode}: {fps_head:.1f} fps "
+          f"[{time.time() - t0:.0f}s]", file=sys.stderr, flush=True)
 
     extras = {}
     for name, fn in (
-        ("e2v_int8_b16_fps",
-         lambda: bench_e2v(batch=16, dtype=jnp.bfloat16, quant="int8")),
+        ("e2v_bf16_b16_fps", lambda: bench_e2v(batch=16, dtype=jnp.bfloat16)),
+        ("v2e_pack_ms", bench_v2e_pack),
+        ("voxelize_mev_s", lambda: bench_voxelize() / 1e6),
         ("e2v_bf16_b8_fps", lambda: bench_e2v(batch=8, dtype=jnp.bfloat16)),
         ("e2v_fp32_b8_fps", lambda: bench_e2v(batch=8)),
         ("e2v_fp32_b1_fps", lambda: bench_e2v(batch=1)),
-        ("voxelize_mev_s", lambda: bench_voxelize() / 1e6),
-        ("v2e_pack_ms", bench_v2e_pack),
     ):
         if time.time() - t_start > budget_s:
             print(f"[bench] budget hit; skipping {name}+", file=sys.stderr)
             break
         try:
+            t0 = time.time()
             extras[name] = round(float(fn()), 1)
+            print(f"[bench] {name}: {extras[name]} [{time.time() - t0:.0f}s]",
+                  file=sys.stderr, flush=True)
         except Exception as e:  # secondary metrics must not sink the headline
             print(f"[bench] {name} failed: {e}", file=sys.stderr)
 
-    print(f"[bench] e2v bf16 b=16: {fps_head:.0f} fps/chip | extras: {extras}",
+    print(f"[bench] e2v {head_mode}: {fps_head:.0f} fps/chip | extras: {extras}",
           file=sys.stderr)
     value = fps_head
     print(

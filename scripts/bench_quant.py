@@ -95,7 +95,9 @@ def main():
     b = 1
     seq = 0.5 * jax.random.normal(jax.random.PRNGKey(2), (128, b, 180, 240, 5), dtype)
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=0)
     def recs_of(cfg_, params, seq):
         recs, _ = cista_sequence(params, cfg_, seq)
         return recs.astype(jnp.float32)
