@@ -60,9 +60,11 @@ class CistaConfig:
     depth: int = 5
     num_bins: int = 5
     model_mode: str = "cista-lstc"
-    # 'xla' (default) or 'pallas': the fused VMEM-resident ISTA kernel runs
-    # ~1.4x the XLA path (56 TFLOP/s) but costs minutes of Mosaic compile on
-    # this platform — opt in for long-running serving, not for CI/bench
+    # 'xla' (default) or 'pallas': the fused VMEM-resident ISTA kernel is
+    # 1.4x the XLA ISTA in ISOLATION but measured SLOWER end-to-end on v5e
+    # (1122 vs 1222 fps — scan-boundary relayouts eat the win; BENCH_NOTES
+    # round 1) and costs minutes of Mosaic compile. Kept as a documented
+    # negative result; do not enable for serving.
     ista_impl: str = "xla"
     # full-resolution conv strategy: 'fused' (default — exact algebraic
     # rewrites in the half-res/parity domain, ops/fused.py; ~5 TFLOP/s ->
@@ -77,7 +79,10 @@ class CistaConfig:
     # 'xla' (default) or 'pallas': ONE fused VMEM-resident kernel for the
     # whole half-res core (ConvLSTC -> ISTA x depth -> Dg conv -> ConvLSTM;
     # ops/pallas/core.py) — flat [HW, C] layout, conv taps as sublane
-    # slices, no relayouts. Opt-in pending measured wins on real hardware.
+    # slices, no relayouts. MEASURED ON REAL v5e (round 4): does NOT fit —
+    # Mosaic needs 163M of the 128M VMEM (105M register-allocator spills)
+    # at the 180x240/64ch flagship shape and compilation fails. Kept as a
+    # documented negative result; do not enable.
     core_impl: str = "xla"
     # 'none' (default) or 'int8': post-training-quantized INFERENCE for the
     # half-res core convs (weights per-out-channel, activations dynamic

@@ -83,10 +83,13 @@ class EmulatorConfig:
     unroll_pairs: int = 1
     unroll_iters: int = 32  # keep == max_iters (full unroll)
     # iteration-loop backend: 'xla' (default) or 'pallas' (fused VMEM
-    # kernel, ops/pallas/emulator_iters.py — 1.1 ms/pair isolated, but
-    # in-scan end-to-end gains are erased by this platform's bistable
-    # compile outcomes; see BENCH_NOTES.md) or 'auto' (pallas on TPU for
-    # refractory configs when the plane fits VMEM)
+    # kernel, ops/pallas/emulator_iters.py — MEASURED on real v5e round 4:
+    # 3.40 vs 4.59 ms/pack end-to-end on the still_life+refractory config,
+    # a 26% win, ~4 s Mosaic compile; the XLA side is bistable across
+    # sessions (2.5–30 ms) so the default stays 'xla' for reproducibility
+    # — set 'pallas' for serving refractory configs; see BENCH_NOTES.md)
+    # or 'auto' (pallas on TPU for refractory configs when the plane fits
+    # VMEM)
     iters_impl: str = "xla"
 
 
