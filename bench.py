@@ -52,6 +52,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+from v2e2v_tpu.utils.profiling import apply_platform_override
+
+# Persistent compile cache: remote TPU compiles vary 30-350s per program on
+# this platform; a warm .jax_cache turns most of the bench into execution
+# time (the cache is committed to the repo as cold-start insurance).
+apply_platform_override()
+
 CISTA_LSTC_FLOPS_PER_FRAME = 43.5e9  # 180x240, 64ch, depth 5 (BENCH_NOTES.md)
 A100_TORCH_EFFECTIVE_FLOPS = 10.0e12  # generous fp32-cuDNN ceiling (docstring)
 A100_TORCH_FPS_ESTIMATE = A100_TORCH_EFFECTIVE_FLOPS / CISTA_LSTC_FLOPS_PER_FRAME
