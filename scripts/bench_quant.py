@@ -52,6 +52,9 @@ def main():
         i = argv.index("--ckpt")
         ckpt = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    static = "--static" in argv
+    if static:
+        argv.remove("--static")
     batches = [int(a) for a in argv] or [8, 16]
 
     dtype = jnp.bfloat16
@@ -66,6 +69,36 @@ def main():
     else:
         params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
     params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+
+    params_q = params
+    if static:
+        # calibrate static activation scales on 2 steps of the bench
+        # distribution (traced once; ops/qconv.py calibrate_step_scales)
+        import time as _t
+
+        from v2e2v_tpu.models.cista import cista_lstc_step_int8, cista_zero_state
+        from v2e2v_tpu.ops.fused import precompute_fused_kernels
+        from v2e2v_tpu.ops.qconv import calibrate_step_scales, quantize_core
+
+        qp = quantize_core(params)
+        p_cal = {**params, "_quant": qp,
+                 "_fullres_fused": precompute_fused_kernels(params)}
+        cseq = 0.5 * jax.random.normal(
+            jax.random.PRNGKey(7), (2, 2, 180, 240, 5), dtype
+        )
+        cprev = jnp.zeros((2, 180, 240, 1), dtype)
+        cstate = cista_zero_state(cfg, 2, dtype)
+
+        def run_calib():
+            s = cstate
+            for t in range(cseq.shape[0]):
+                _, s = cista_lstc_step_int8(p_cal, cfg_q, cseq[t], cprev, s)
+
+        t0 = _t.perf_counter()
+        qp_static = calibrate_step_scales(run_calib, qp, depth=cfg.depth, margin=1.1)
+        print(f"[quant] static calibration: {_t.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        params_q = {**params, "_quant": qp_static}
 
     for b in batches:
         seq = 0.5 * jax.random.normal(
@@ -83,7 +116,7 @@ def main():
             return recs.astype(jnp.float32).sum()
 
         tf = bench(run_float, (params, seq))
-        tq = bench(run_int8, (params, seq))
+        tq = bench(run_int8, (params_q, seq))
         print(
             f"b={b:3d}  float {tf*1e3/STEPS:7.3f} ms/step {b*STEPS/tf:7.1f} fps"
             f" | int8 {tq*1e3/STEPS:7.3f} ms/step {b*STEPS/tq:7.1f} fps"
@@ -103,7 +136,7 @@ def main():
         return recs.astype(jnp.float32)
 
     rf = recs_of(cfg, params, seq)
-    rq = recs_of(cfg_q, params, seq)
+    rq = recs_of(cfg_q, params_q, seq)
     d = jnp.abs(rq - rf)
     mse = jnp.mean((rq - rf) ** 2)
     psnr = -10 * jnp.log10(mse + 1e-12)

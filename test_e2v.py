@@ -30,13 +30,16 @@ def build_model(cfgs):
     )
     from v2e2v_tpu.utils.checkpoint import load_checkpoint, load_torch_checkpoint
 
+    quant = getattr(cfgs, "quant", "none")
     cfg = CistaConfig(
         image_dim=tuple(cfgs.image_dim),
         base_channels=cfgs.base_channels,
         depth=cfgs.depth,
         num_bins=cfgs.num_bins,
         model_mode=cfgs.model_mode,
-        quant=getattr(cfgs, "quant", "none"),
+        # 'int8-static' runs the same int8 step; the static activation
+        # scales are calibrated on the first pack (Reconstructor.run)
+        quant="int8" if quant.startswith("int8") else "none",
     )
     path = cfgs.path_to_test_model
     if path.endswith((".pth.tar", ".pth", ".pt")):
@@ -130,6 +133,37 @@ class Reconstructor:
             row.append(float("nan"))
         return row
 
+    def _calibrate_static(self, ev, prev, state):
+        """Calibrate static int8 activation scales on the first real pack
+        (``--quant int8-static``): one traced run of the int8 step records
+        every dynamic scale; margin 1.25 leaves headroom for the recurrent
+        state warming past the first-pack range (beyond-range saturates,
+        standard PTQ clipping). Scales are calibrated once and reused for
+        every sequence."""
+        import jax
+        import jax.numpy as jnp
+
+        from v2e2v_tpu.models.cista import get_step_fn
+        from v2e2v_tpu.ops.qconv import calibrate_step_scales, quantize_core
+
+        dtype = jnp.bfloat16 if self.cfgs.precision == "bfloat16" else jnp.float32
+        step_fn = get_step_fn(self.cfg)
+        qp = quantize_core(self.params, self.cfg.model_mode)
+        p = {**self.params, "_quant": qp}
+        ev = ev.astype(dtype)
+        prev = prev.astype(dtype)
+        state = jax.tree_util.tree_map(lambda x: x.astype(dtype), state)
+
+        def run_steps():
+            step_fn(p, self.cfg, ev, prev, state)
+
+        qp_static = calibrate_step_scales(
+            run_steps, qp, model_mode=self.cfg.model_mode,
+            depth=self.cfg.depth, margin=1.25,
+        )
+        print("[int8-static] activation scales calibrated on the first pack")
+        return {**self.params, "_quant": qp_static}
+
     def run(self):
         import jax.numpy as jnp
 
@@ -152,13 +186,14 @@ class Reconstructor:
 
                 from v2e2v_tpu.models.cista import CistaConfig
 
+                q = getattr(self.cfgs, "quant", "none")
                 self.cfg = CistaConfig(
                     image_dim=(h, w),
                     base_channels=self.cfgs.base_channels,
                     depth=self.cfgs.depth,
                     num_bins=self.cfgs.num_bins,
                     model_mode=self.cfgs.model_mode,
-                    quant=getattr(self.cfgs, "quant", "none"),
+                    quant="int8" if q.startswith("int8") else "none",
                 )
                 dtype = (
                     jnp.bfloat16 if self.cfgs.precision == "bfloat16" else jnp.float32
@@ -180,6 +215,11 @@ class Reconstructor:
                 )
                 for evs in events:
                     evs = jnp.asarray(np.moveaxis(evs, 0, -1))[None]  # NHWC
+                    if (
+                        getattr(self.cfgs, "quant", "none") == "int8-static"
+                        and "_quant" not in self.params
+                    ):
+                        self.params = self._calibrate_static(evs, prev_image, state)
                     pred_image, state = self.step(self.params, evs, prev_image, state)
                     prev_image = pred_image
 

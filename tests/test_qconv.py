@@ -115,3 +115,54 @@ def test_quant_sequence_tracks_float_cista_tc():
     recs_q = np.asarray(recs_q, np.float32)
     assert np.mean(np.abs(recs_q - recs_f)) < 0.03
     assert np.mean(np.abs(recs_q[-1] - recs_f[-1])) < 0.05
+
+
+@pytest.mark.parametrize("use_jit", [True, False])
+def test_static_scale_calibration_tracks_dynamic(use_jit):
+    """Calibrated static activation scales (qconv.py calibrate_step_scales)
+    reproduce the dynamic-scale int8 path closely on the data distribution
+    they were calibrated on, and every conv site receives a scale — in both
+    the traced (one-compile) and eager calibration modes."""
+    from v2e2v_tpu.models.cista import cista_lstc_step_int8
+    from v2e2v_tpu.ops.qconv import calibrate_step_scales, quantize_cista_core
+
+    cfg = CistaConfig(
+        image_dim=(32, 40), base_channels=16, depth=3, num_bins=5, quant="int8"
+    )
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    seq = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (4, 2, 32, 40, 5))
+    prev = jnp.zeros((2, 32, 40, 1), jnp.float32)
+    state0 = cista_zero_state(cfg, 2)
+
+    qp = quantize_cista_core(params)
+    params_dyn = {**params, "_quant": qp}
+
+    def run_steps():
+        s = state0
+        for t in range(seq.shape[0]):
+            _, s = cista_lstc_step_int8(params_dyn, cfg, seq[t], prev, s)
+
+    qp_static = calibrate_step_scales(run_steps, qp, depth=cfg.depth, use_jit=use_jit)
+    for site in ("D", "P", "dg_conv"):
+        assert "s_x" in qp_static[site], site
+    for site in ("gates", "P0", "out_gates"):
+        assert "s_x" in qp_static["lstc"][site], site
+    assert "s_x" in qp_static["lstm"]["Gates"]
+    assert "s_x" not in qp["D"]  # calibration must not mutate its input
+
+    params_sta = {**params, "_quant": qp_static}
+
+    def run(p):
+        def body(s, ev):
+            out, s = cista_lstc_step_int8(p, cfg, ev, prev, s)
+            return s, out
+
+        _, recs = jax.lax.scan(body, state0, seq)
+        return recs
+
+    recs_dyn = np.asarray(jax.jit(run)(params_dyn), np.float32)
+    recs_sta = np.asarray(jax.jit(run)(params_sta), np.float32)
+    # same distribution as calibration -> scales only differ by per-step
+    # max jitter; outputs should agree tightly (sigmoid range [0,1])
+    assert np.mean(np.abs(recs_sta - recs_dyn)) < 0.01
+    assert np.max(np.abs(recs_sta - recs_dyn)) < 0.2

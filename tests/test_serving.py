@@ -172,3 +172,30 @@ def test_pool_supports_cista_tc():
         rec, state = cista_tc_step(params, cfg, jnp.asarray(vox)[None], prev, state)
         prev = rec
         np.testing.assert_allclose(out, np.asarray(rec[0, ..., 0]), atol=1e-5)
+
+
+def test_pool_int8_static_calibration_tracks_dynamic():
+    """StreamPool.calibrate() installs static activation scales; subsequent
+    steps skip the dynamic abs-max and stay near the dynamic-int8 pool on
+    the calibration distribution."""
+    cfg_q = CistaConfig(
+        image_dim=(H, W), base_channels=8, depth=2, num_bins=NB, quant="int8"
+    )
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg_q)
+    pool_dyn = StreamPool(cfg_q, params, capacity=2, dtype=jnp.float32)
+    pool_sta = StreamPool(cfg_q, params, capacity=2, dtype=jnp.float32)
+
+    calib = jnp.stack(
+        [jnp.asarray(_vox(100 + i))[None] for i in range(2)]
+    )  # [2 steps, 1, H, W, NB]
+    pool_sta.calibrate(calib)
+    assert "s_x" in pool_sta.params["_quant"]["D"]
+    assert "s_x" not in pool_dyn.params["_quant"]["D"]
+
+    a = pool_dyn.attach()
+    b = pool_sta.attach()
+    for i in range(3):
+        vox = _vox(i)
+        out_d = pool_dyn.step({a: vox})[a]
+        out_s = pool_sta.step({b: vox})[b]
+        assert np.mean(np.abs(out_s - out_d)) < 0.02

@@ -560,7 +560,9 @@ def cista_sequence(
         from ..ops.pallas.core import core_taps
 
         params = {**params, "_core_taps": core_taps(params, voxel_seq.dtype)}
-    if cfg.quant == "int8":
+    if cfg.quant == "int8" and "_quant" not in params:
+        # callers may pre-inject "_quant" — e.g. with calibrated static
+        # activation scales (ops/qconv.py calibrate_step_scales)
         from ..ops.qconv import quantize_core
 
         params = {**params, "_quant": quantize_core(params, cfg.model_mode)}

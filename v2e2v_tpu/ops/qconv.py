@@ -44,6 +44,10 @@ Params = dict[str, Any]
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
+# Calibration hook: when a list, quantize_activation appends each dynamic
+# scale it computes (eager mode only; see calibrate_step_scales).
+_CALIB: list | None = None
+
 
 def quantize_conv_params(params: Params) -> Params:
     """Per-output-channel symmetric int8 quantization of a conv layer.
@@ -65,6 +69,8 @@ def quantize_activation(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Dynamic per-tensor symmetric int8: returns ``(x_q int8, s_x f32 scalar)``."""
     s_x = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
     s_x = jnp.where(s_x == 0, 1.0, s_x)
+    if _CALIB is not None:
+        _CALIB.append(s_x)  # concrete in eager mode, traced under jit
     x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127).astype(jnp.int8)
     return x_q, s_x
 
@@ -77,8 +83,20 @@ def qconv2d(
     pad_mode: str = "reflect",
     out_dtype=None,
 ) -> jax.Array:
-    """Quantized conv matching ``ops.conv.conv2d`` semantics (up to rounding)."""
-    x_q, s_x = quantize_activation(x)
+    """Quantized conv matching ``ops.conv.conv2d`` semantics (up to rounding).
+
+    When ``qp`` carries a calibrated static scale ``s_x`` (see
+    ``calibrate_step_scales``), the dynamic per-tensor abs-max reduction is
+    skipped: the input is quantized with the stored scale (values beyond the
+    calibrated range saturate at +-127, standard PTQ clipping).
+    """
+    s_x = qp.get("s_x")
+    if s_x is None:
+        x_q, s_x = quantize_activation(x)
+    else:
+        x_q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s_x), -127, 127
+        ).astype(jnp.int8)
     if padding > 0:
         x_q = jnp.pad(
             x_q,
@@ -181,3 +199,93 @@ def quantize_cista_tc_core(params: Params) -> Params:
         "dg_conv": quantize_conv_params(params["Dg"]["conv"]),
         "lstm": {"Gates": quantize_conv_params(params["Dg"]["lstm"]["Gates"])},
     }
+
+
+# ---------------------------------------------------------------------------
+# static activation-scale calibration (optional PTQ refinement)
+# ---------------------------------------------------------------------------
+#
+# The dynamic scheme above recomputes ``max|x|`` per conv input — ~15
+# full-tensor VPU reductions per CISTA step. Calibrating static per-site
+# scales offline removes those passes from the serving step. The conv-site
+# call order inside the int8 steps is static (the ISTA depth loop is
+# unrolled), so sites are identified positionally.
+
+_SITE_ORDERS = {
+    # models/cista.py cista_lstc_step_int8 / cista_tc_step_int8 call order
+    "cista-lstc": lambda depth: (
+        ["lstc.gates", "lstc.P0", "lstc.out_gates"]
+        + ["D", "P"] * depth
+        + ["dg_conv", "lstm.Gates"]
+    ),
+    "cista-tc": lambda depth: ["P0"] + ["D", "P"] * depth + ["dg_conv", "lstm.Gates"],
+}
+
+
+def calibrate_step_scales(
+    run_steps,
+    qp: Params,
+    model_mode: str = "cista-lstc",
+    depth: int = 5,
+    margin: float = 1.0,
+    use_jit: bool = True,
+) -> Params:
+    """Calibrate static activation scales by observing the dynamic ones.
+
+    ``run_steps()`` must execute the int8 step function (``cista_*_step_int8``
+    with ``qp`` as ``params['_quant']``) DIRECTLY — not under its own
+    ``jax.jit`` — over representative calibration inputs, with a Python-level
+    step loop (``lax.scan`` would hide the per-call scales). Returns a new
+    quantized-params tree with ``s_x`` set per conv site to the running max
+    over all observed calls (weight-tied sites like the ISTA D/P share one
+    scale across the depth loop, taking the max). ``margin`` scales the
+    calibrated range (>1.0 = extra headroom; beyond-range values saturate at
+    +-127, standard PTQ clipping).
+
+    With ``use_jit`` (default) the calibration run is traced ONCE as a
+    zero-argument jit whose extra output is the stacked per-call scales —
+    one compile (persistent-cacheable), then a single device execution.
+    ``use_jit=False`` runs eagerly under ``jax.disable_jit()`` (slow on a
+    tunneled TPU: ~100 dispatches per step).
+    """
+    global _CALIB
+    if use_jit:
+        def traced():
+            global _CALIB
+            _CALIB = []
+            try:
+                run_steps()
+                return jnp.stack(_CALIB)
+            finally:
+                _CALIB = None
+
+        scales = [float(s) for s in jax.jit(traced)()]
+    else:
+        _CALIB = []
+        try:
+            with jax.disable_jit():
+                run_steps()
+        finally:
+            scales, _CALIB = _CALIB, None
+        scales = [float(s) for s in scales]
+    sites = _SITE_ORDERS[model_mode](depth)
+    n = len(sites)
+    if not scales or len(scales) % n != 0:
+        raise ValueError(
+            f"calibration recorded {len(scales)} scales, expected a multiple "
+            f"of {n} ({model_mode}, depth={depth}) — run_steps must call the "
+            "int8 step directly"
+        )
+    agg: dict[str, float] = {}
+    for i, s in enumerate(scales):
+        site = sites[i % n]
+        agg[site] = max(agg.get(site, 0.0), s)
+
+    out = jax.tree_util.tree_map(lambda x: x, qp)  # structural copy
+    for site, s in agg.items():
+        node = out
+        *path, leaf = site.split(".")
+        for p in path:
+            node = node[p]
+        node[leaf]["s_x"] = jnp.float32(max(s * margin, 1e-12))
+    return out

@@ -115,6 +115,42 @@ class StreamPool:
         self._next_id = 0
         self._slot_of: dict[int, int] = {}
 
+    def calibrate(self, voxels: jax.Array) -> None:
+        """Calibrate static int8 activation scales from sample voxel grids.
+
+        ``voxels``: ``[steps, batch, H, W, num_bins]`` representative inputs
+        (the reconstruction is fed back as ``prev_image``, matching pool
+        dynamics). Afterwards every pool step skips the per-conv dynamic
+        abs-max pass (+16%% measured throughput at b=16; BENCH_NOTES.md
+        round 4). Requires ``cfg.quant == 'int8'``; margin 1.25 leaves
+        headroom beyond the calibration range (saturating clip past it).
+        """
+        if self.cfg.quant != "int8":
+            raise ValueError("calibrate() requires cfg.quant == 'int8'")
+        from .ops.qconv import calibrate_step_scales
+
+        qp = self.params["_quant"]
+        step_fn = get_step_fn(self.cfg)
+        b = voxels.shape[1]
+        state = cista_zero_state(self.cfg, b, self.dtype)
+        prev = jnp.zeros(voxels.shape[1:4] + (1,), self.dtype)
+        p = self.params
+
+        def run_steps():
+            s, pv = state, prev
+            for t in range(voxels.shape[0]):
+                out, s = step_fn(p, self.cfg, voxels[t].astype(self.dtype), pv, s)
+                pv = out.astype(self.dtype)
+
+        qp_static = calibrate_step_scales(
+            run_steps, qp, model_mode=self.cfg.model_mode,
+            depth=self.cfg.depth, margin=1.25,
+        )
+        self.params = {**self.params, "_quant": qp_static}
+        if self._slot_shard is not None:
+            rep = NamedSharding(self._slot_shard.mesh, P())
+            self.params = jax.device_put(self.params, rep)
+
     def attach(self) -> int:
         """Claim a free slot for a new stream; returns the stream id."""
         free = np.flatnonzero(~self._active)

@@ -141,13 +141,17 @@ def set_configs(parser: argparse.ArgumentParser) -> None:
                           "hardware-friendly generator (~10x faster random "
                           "streams than threefry; v2e pack 30 -> 3 ms)")
     tpu.add_argument("--quant", default="none", type=str,
-                     choices=["none", "int8"],
+                     choices=["none", "int8", "int8-static"],
                      help="Post-training int8 quantization of the CISTA "
                           "core for INFERENCE (both model modes): "
                           "weights per-out-channel, activations dynamic "
                           "per-tensor, exact int32 accumulation — the MXU "
-                          "int8 rate is 2x bf16. Validate metrics with "
-                          "test_e2v.py before serving (see ops/qconv.py)")
+                          "int8 rate is 2x bf16. 'int8-static' additionally "
+                          "calibrates static activation scales on the first "
+                          "pack (kills the per-conv abs-max pass; +16% "
+                          "throughput, see BENCH_NOTES.md). Validate "
+                          "metrics with test_e2v.py before serving "
+                          "(see ops/qconv.py)")
     tpu.add_argument("--profile_dir", default=None, type=str,
                      help="If set, write a jax.profiler trace here")
     tpu.add_argument("--debug_nans", dest="debug_nans", action="store_true",
