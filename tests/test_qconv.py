@@ -166,3 +166,48 @@ def test_static_scale_calibration_tracks_dynamic(use_jit):
     # max jitter; outputs should agree tightly (sigmoid range [0,1])
     assert np.mean(np.abs(recs_sta - recs_dyn)) < 0.01
     assert np.max(np.abs(recs_sta - recs_dyn)) < 0.2
+
+
+def test_static_scale_calibration_cista_tc():
+    """The TC site order in qconv._SITE_ORDERS matches cista_tc_step_int8's
+    actual conv call sequence, and the calibrated path tracks dynamic."""
+    from v2e2v_tpu.models.cista import cista_tc_step_int8, init_cista_tc
+    from v2e2v_tpu.ops.qconv import calibrate_step_scales, quantize_cista_tc_core
+
+    cfg = CistaConfig(
+        image_dim=(32, 40), base_channels=16, depth=3, num_bins=5,
+        model_mode="cista-tc", quant="int8",
+    )
+    params = init_cista_tc(jax.random.PRNGKey(0), cfg)
+    seq = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (3, 2, 32, 40, 5))
+    prev = jnp.zeros((2, 32, 40, 1), jnp.float32)
+    state0 = cista_zero_state(cfg, 2)
+
+    qp = quantize_cista_tc_core(params)
+    params_dyn = {**params, "_quant": qp}
+
+    def run_steps():
+        s = state0
+        for t in range(seq.shape[0]):
+            _, s = cista_tc_step_int8(params_dyn, cfg, seq[t], prev, s)
+
+    qp_static = calibrate_step_scales(
+        run_steps, qp, model_mode="cista-tc", depth=cfg.depth
+    )
+    for site in ("P0", "D", "P", "dg_conv"):
+        assert "s_x" in qp_static[site], site
+    assert "s_x" in qp_static["lstm"]["Gates"]
+
+    params_sta = {**params, "_quant": qp_static}
+
+    def run(p):
+        def body(s, ev):
+            out, s = cista_tc_step_int8(p, cfg, ev, prev, s)
+            return s, out
+
+        _, recs = jax.lax.scan(body, state0, seq)
+        return recs
+
+    recs_dyn = np.asarray(jax.jit(run)(params_dyn), np.float32)
+    recs_sta = np.asarray(jax.jit(run)(params_sta), np.float32)
+    assert np.mean(np.abs(recs_sta - recs_dyn)) < 0.01
