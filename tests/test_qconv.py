@@ -211,3 +211,32 @@ def test_static_scale_calibration_cista_tc():
     recs_dyn = np.asarray(jax.jit(run)(params_dyn), np.float32)
     recs_sta = np.asarray(jax.jit(run)(params_sta), np.float32)
     assert np.mean(np.abs(recs_sta - recs_dyn)) < 0.01
+
+
+def test_qconv_strip_fast_path_integer_exact():
+    """The pad-copy-free reflect conv (int32 accumulation) is BIT-EXACT vs
+    the explicit reflect-pad int8 conv — the strip algebra is pure conv
+    linearity, no rounding. The int8 path does NOT route through it (it
+    measured slower there — BENCH_NOTES.md round 4: the int8 pad copy is
+    cheap and fuses with the quantize, while the strips add ~15 small conv
+    custom-calls per step); this pins the ``preferred=jnp.int32`` algebra
+    so the option stays sound."""
+    import jax.lax as lax
+
+    from v2e2v_tpu.ops.conv import _reflect1_conv3x3
+
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (2, 20, 24, 8), jnp.float32)
+    p = conv_init(jax.random.fold_in(key, 1), 8, 16, 3)
+    qp = quantize_conv_params(p)
+    x_q, _ = quantize_activation(x)
+
+    acc_fast = _reflect1_conv3x3(x_q, qp["w_q"], preferred=jnp.int32)
+    x_pad = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    acc_ref = lax.conv_general_dilated(
+        x_pad, qp["w_q"], window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    assert acc_fast.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(acc_fast), np.asarray(acc_ref))

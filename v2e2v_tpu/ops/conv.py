@@ -56,8 +56,12 @@ _DN = ("NHWC", "HWIO", "NHWC")
 REFLECT_FAST_PATH = True
 
 
-def _reflect1_conv3x3(x: jax.Array, w: jax.Array) -> jax.Array:
+def _reflect1_conv3x3(x: jax.Array, w: jax.Array, preferred=jnp.float32) -> jax.Array:
     """Exact ``conv_valid(reflect_pad1(x), w)`` without the pad copy.
+
+    ``preferred`` is the accumulation dtype (``jnp.int32`` for the int8
+    path — the strip algebra is exact in integer arithmetic too, since it
+    only relies on conv linearity).
 
     ``jnp.pad(mode='reflect')`` lowers to concat-of-reversed-slices — a full
     HBM round-trip per conv input (measured ~16% of the CISTA step,
@@ -78,7 +82,7 @@ def _reflect1_conv3x3(x: jax.Array, w: jax.Array) -> jax.Array:
     wk = w.astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, wk, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-        dimension_numbers=_DN, preferred_element_type=jnp.float32,
+        dimension_numbers=_DN, preferred_element_type=preferred,
     )
 
     # --- all four strip corrections in ONE grouped 1x3 conv ---------------
@@ -110,7 +114,7 @@ def _reflect1_conv3x3(x: jax.Array, w: jax.Array) -> jax.Array:
     corr = jax.lax.conv_general_dilated(
         strips, wg, window_strides=(1, 1), padding="VALID",
         dimension_numbers=_DN, feature_group_count=4,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )  # [B, 1, L, 4*Cout]
 
     # --- fold the strips back via broadcast-selects (these fuse into the

@@ -20,9 +20,13 @@ Scheme (standard symmetric post-training quantization):
 - dequant:      ``y = acc * (s_x * s_w) + bias`` in f32, cast back to the
                 activation dtype.
 
-Reflect padding happens on the int8 tensor (pure copy, exact, and 4x
-cheaper than the f32 pad); the strip-conv fast path from ``ops/conv.py`` is
-unnecessary here.
+Reflect padding happens on the int8 tensor (pure copy, exact, 4x cheaper
+than the f32 pad, and it fuses with the quantize producer). The strip-conv
+fast path from ``ops/conv.py`` was MEASURED SLOWER here (BENCH_NOTES.md
+round 4: static step 5.2 -> 5.9 ms/step at the flagship shape) — the int8
+pad is cheap while the strip machinery adds ~15 extra small conv
+custom-calls per step; ``_reflect1_conv3x3(preferred=jnp.int32)`` remains
+available and bit-exact (tests/test_qconv.py) but is not used.
 
 This is an INFERENCE path: no gradients are defined through the rounding.
 Quality is validated at the metric level against the fp32/bf16 paths on
