@@ -106,6 +106,7 @@ class V2E2V:
             )
 
             state = None  # fresh sequence -> emulator + recon state reset
+            t_last = None  # host-side timestamp contract (v2e_model.py:335-338)
             num_events = 0
             sat_clipped = 0
             sat_max_count = 0
@@ -125,6 +126,9 @@ class V2E2V:
                 )
                 if frames.shape[0] <= 1:
                     continue
+                from v2e2v_tpu.models.emulator import validate_pack_times
+
+                t_last = validate_pack_times(timestamps, t_last)
                 frames_j = jnp.asarray(frames, jnp.float32)[None]
                 ts_j = jnp.asarray(timestamps, jnp.float32)[None]
 

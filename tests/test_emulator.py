@@ -405,3 +405,49 @@ def test_rng_impl_rbg_statistical_agreement():
     assert base > 0
     for impl in ("rbg", "unsafe_rbg"):
         assert abs(counts[impl] - base) <= 0.15 * base, counts
+
+
+def test_input_contract_timestamp_validation():
+    """Host-side timestamp contract (reference raises on non-advancing frame
+    times, v2e/v2e_model.py:335-338): non-increasing times within a pack and
+    packs that fail to advance past the previous one must raise."""
+    import pytest
+
+    from v2e2v_tpu.models.emulator import validate_pack_times
+
+    # good: strictly increasing, threads per-row last times
+    last = validate_pack_times(np.array([0.0, 0.1, 0.2]))
+    assert last.shape == (1,) and float(last[0]) == 0.2
+
+    # continuation pack sharing the boundary frame is legal
+    last = validate_pack_times(np.array([[0.2, 0.3, 0.4]]), last)
+    assert float(last[0]) == 0.4
+
+    # non-increasing within a pack
+    with pytest.raises(ValueError, match="strictly increasing"):
+        validate_pack_times(np.array([0.0, 0.2, 0.2]))
+
+    # pack that does not advance past the previous one (reference message)
+    with pytest.raises(ValueError, match="must be later than"):
+        validate_pack_times(np.array([[0.1, 0.2, 0.3]]), np.array([0.4]))
+
+
+def test_input_contract_t_frames_shape():
+    """t_frames shapes other than [B,2]/[B,N]/[B,N+1] are a caller bug and
+    raise instead of silently truncating (models/emulator.py _prepare_pack)."""
+    import pytest
+
+    cfg = det_cfg()
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(
+        np.round(rng.random((1, 4, 8, 8)) * 255).astype(np.float32)
+    )
+
+    # legal: the reference continuation-pack off-by-one [B, N+1]
+    ts_ok = jnp.asarray(np.linspace(0, 0.5, 5, dtype=np.float32)[None])
+    emulate_pack(cfg, None, frames, ts_ok, key=KEY)
+
+    # illegal: N+3 entries would silently garble delta_time / Tr
+    ts_bad = jnp.asarray(np.linspace(0, 0.5, 7, dtype=np.float32)[None])
+    with pytest.raises(ValueError, match="expected 2"):
+        emulate_pack(cfg, None, frames, ts_bad, key=KEY)

@@ -297,6 +297,13 @@ class Train:
                 frames_seq = np.moveaxis(seq_images, 1, 0)  # [T,B,N,H,W]
                 ts_seq = np.moveaxis(seq_ts, 1, 0).astype(np.float32)
                 gt = seq_gt[:, -1]  # loss on the final reconstruction
+                # host-side timestamp contract (reference raises on
+                # non-advancing frame times, v2e_model.py:335-338)
+                from v2e2v_tpu.models.emulator import validate_pack_times
+
+                t_last = None
+                for t_pack in range(ts_seq.shape[0]):
+                    t_last = validate_pack_times(ts_seq[t_pack], t_last)
 
                 key = jax.random.fold_in(self._noise_key, step_idx)
                 self.params, self.opt_state, loss, aux = self.train_step(

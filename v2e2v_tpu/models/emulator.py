@@ -199,9 +199,57 @@ def emulator_init_from_pack(
     tr = ((cfg.num_bins - 1) * jnp.float32(cfg.refractory_period_s)) * (1.0 / window)
     tr_frames = jnp.broadcast_to(tr[:, None, None], (b, h, w)).astype(jnp.float32)
     if t_frames.shape[1] not in (2, n):
+        if t_frames.shape[1] != n + 1:  # same contract as _prepare_pack
+            raise ValueError(
+                f"t_frames has {t_frames.shape[1]} entries for {n} frames; "
+                "expected 2 (endpoints), N, or N+1"
+            )
         t_frames = t_frames[:, :n]
     t_float = _per_row_times(t_frames, n)
     return emulator_init(key, cfg, lin_log(frames)[:, 0], tr_frames, t_float[:, 0])
+
+
+def validate_pack_times(t_frames, t_previous=None):
+    """Host-side input-contract check for pack timestamps (CLI boundary).
+
+    The reference raises on non-advancing frame times
+    (``v2e/v2e_model.py:335-338``: ``t_float_frames[1] <= self.t_previous``);
+    the jitted emulator cannot perform data-dependent raises, so callers
+    feeding untrusted reader output validate here BEFORE dispatch.
+
+    Args:
+      t_frames: ``[N]``, ``[B, N]``, ``[B, 2]`` or ``[B, N+1]`` timestamps
+        (seconds), any array-like.
+      t_previous: optional per-row (or scalar) last frame time of the
+        previous pack; continuation packs share the boundary frame, so
+        the FIRST entry may equal it but the second must be later.
+    Returns the per-row last timestamps ``[B]`` (float64 numpy) to thread
+    into the next call.
+    Raises ``ValueError`` on non-increasing times within the pack or a pack
+    that does not advance past ``t_previous``.
+    """
+    import numpy as np
+
+    ts = np.asarray(t_frames, np.float64)
+    if ts.ndim == 1:
+        ts = ts[None]
+    if np.any(np.diff(ts, axis=1) <= 0):
+        bad = float(ts[np.unravel_index(np.argmin(np.diff(ts, axis=1)),
+                                        np.diff(ts, axis=1).shape)[0], 0])
+        raise ValueError(
+            "frame times must be strictly increasing within a pack "
+            f"(got a non-increasing step in the pack starting at t={bad})"
+        )
+    if t_previous is not None:
+        prev = np.asarray(t_previous, np.float64).reshape(-1)
+        second = ts[:, 1] if ts.shape[1] > 1 else ts[:, 0]
+        if np.any(second <= prev):
+            i = int(np.argmax(second <= prev))
+            raise ValueError(
+                f"this frame time={second[i]} must be later than "
+                f"previous frame time={prev[min(i, prev.size - 1)]}"
+            )
+    return ts[:, -1]
 
 
 def _prepare_pack(cfg, state, frames, t_frames, key):
@@ -221,8 +269,16 @@ def _prepare_pack(cfg, state, frames, t_frames, key):
     tr_frames = jnp.broadcast_to(tr[:, None, None], (b, h, w)).astype(jnp.float32)
 
     if t_frames.shape[1] not in (2, n):
-        # reference continuation-pack off-by-one ([B, N+1],
-        # ``video_readers.py:101``): first N entries pair with the N frames
+        # The ONLY tolerated mismatch is the reference continuation-pack
+        # off-by-one ([B, N+1], ``video_readers.py:101``): the first N
+        # entries pair with the N frames. Anything else is a caller bug —
+        # silently truncating would compute garbage delta_time/Tr.
+        if t_frames.shape[1] != n + 1:
+            raise ValueError(
+                f"t_frames has {t_frames.shape[1]} entries for {n} frames; "
+                "expected 2 (endpoints), N, or N+1 (reference "
+                "continuation-pack layout, video_readers.py:101)"
+            )
         t_frames = t_frames[:, :n]
     t_float = _per_row_times(t_frames, n)  # [B, N]
 

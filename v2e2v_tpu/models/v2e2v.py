@@ -62,6 +62,11 @@ class V2E2VConfig:
             shot_noise_rate_hz=1.0,
             max_iters=getattr(cfgs, "v2e_max_iters", 32),
             unroll_iters=getattr(cfgs, "v2e_max_iters", 32),
+            # CLIs default to 'auto': the fused Pallas iteration kernel
+            # engages on TPU for refractory configs whose plane fits VMEM
+            # (measured -26% ms/pack on v5e, BENCH_NOTES.md round 4); the
+            # library default stays 'xla' for reproducibility
+            iters_impl=getattr(cfgs, "v2e_iters_impl", "auto"),
         )
         return V2E2VConfig(cista=cista, emulator=emulator)
 

@@ -190,6 +190,14 @@ def set_configs(parser: argparse.ArgumentParser) -> None:
                      "in the emulator (the reference's loop is unbounded, "
                      "v2e/v2e_model.py:449). Training/eval report when "
                      "saturation clips event counts; raise this to match")
+    tpu.add_argument("--v2e_iters_impl", default="auto", type=str,
+                     choices=["xla", "pallas", "auto"],
+                     help="Emulator iteration-loop backend. 'pallas' is the "
+                     "fused VMEM kernel (measured -26%% ms/pack on "
+                     "refractory configs on v5e, BENCH_NOTES.md); 'auto' "
+                     "(default for the CLIs) picks pallas on TPU for "
+                     "refractory configs whose plane fits VMEM, else the "
+                     "XLA scan; 'xla' forces the portable path")
     tpu.add_argument("--cache_samples", dest="cache_samples",
                      action="store_true",
                      help="Cache decoded/voxelized training samples in RAM "
