@@ -146,6 +146,105 @@ def bench_e2v(batch: int, steps: int = 64, dtype=jnp.float32, chain: int = 6,
     return batch * steps / best
 
 
+def bench_v2e2v(batch: int = 8, packs: int = 16, n_frames: int = 10,
+                chain: int = 4) -> float:
+    """End-to-end V2E2V throughput (reconstructions/s/chip): HFR frames ->
+    emulated voxel grids -> CISTA reconstruction through ``v2e2v_sequence``,
+    with the CLI-default emulator backend (``iters_impl='auto'`` — the fused
+    Pallas iteration kernel on refractory configs; VERDICT r4 #2). The
+    reference's composite loop being beaten: ``v2e/v2e_model.py:449-502`` +
+    ``model_v2e2v.py:72-128``, python-rolled at batch 1."""
+    import numpy as np
+
+    from v2e2v_tpu.models.cista import init_cista_lstc
+    from v2e2v_tpu.models.emulator import EmulatorConfig
+    from v2e2v_tpu.models.v2e2v import V2E2VConfig, v2e2v_sequence
+    from v2e2v_tpu.models.cista import CistaConfig
+
+    cfg = V2E2VConfig(
+        cista=CistaConfig(image_dim=(180, 240), base_channels=64, depth=5,
+                          num_bins=5),
+        emulator=EmulatorConfig(
+            pos_thres=0.6, neg_thres=0.6, sigma_thres=0.03, pl=1.5, ps=0.5,
+            cutoff_hz=200.0, ql=1.0, qs=0.0, refractory_period_s=0.001,
+            leak_rate_hz=0.1, shot_noise_rate_hz=1.0, iters_impl="auto",
+        ),
+    )
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg.cista)
+    rng = np.random.default_rng(0)
+    h, w = 180, 240
+    base = rng.uniform(30, 200, (batch, 1, 1, h, w)).astype(np.float32)
+    rate = rng.uniform(-0.05, 0.12, (batch, 1, 1, h, w)).astype(np.float32)
+    i_idx = np.arange(packs * n_frames, dtype=np.float32).reshape(
+        1, packs, n_frames, 1, 1
+    )
+    frames = np.clip(base * (1 + rate * i_idx * 0.02), 0, 255)
+    frames_seq = jnp.asarray(np.moveaxis(frames, 1, 0))  # [T,B,N,H,W]
+    ts = (i_idx * 0.004).reshape(1, packs, n_frames) + np.zeros(
+        (batch, 1, 1), np.float32
+    )
+    ts_seq = jnp.asarray(np.moveaxis(ts, 1, 0))  # [T,B,N]
+
+    run = jax.jit(
+        lambda p, f, t: v2e2v_sequence(
+            p, cfg, f, t, key=jax.random.key(7, impl="rbg")
+        )[0][-1].astype(jnp.float32).sum()
+    )
+    float(run(params, frames_seq, ts_seq))  # compile + warmup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(chain):
+            r = run(params, frames_seq, ts_seq)
+        float(r)
+        best = min(best, (time.perf_counter() - t0) / chain)
+    return batch * packs / best
+
+
+def bench_e2v_train(batch: int = 8, seq_len: int = 15, steps: int = 8) -> float:
+    """E2V training throughput (samples/s/chip) at the reference recipe shape
+    (180x240, len_sequence=15, batch 8, fp32, L1+SSIM many-to-one loss,
+    remat'd BPTT scan) — the step ``train_e2v.py`` runs in production
+    (VERDICT r4 #8). Implied MFU is printed on stderr using the
+    fwd+bwd+remat ~= 4x forward-FLOPs convention."""
+    import optax
+
+    from v2e2v_tpu.models.cista import CistaConfig, init_cista_lstc
+    from v2e2v_tpu.parallel.mesh import make_e2v_train_step, make_mesh
+
+    cfg = CistaConfig(image_dim=(180, 240), base_channels=64, depth=5,
+                      num_bins=5)
+    params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+    mesh = make_mesh()
+    step = make_e2v_train_step(cfg, tx, mesh)
+
+    seq = jax.random.normal(
+        jax.random.PRNGKey(1), (seq_len, batch, 180, 240, 5), jnp.float32
+    )
+    gt = jax.random.uniform(jax.random.PRNGKey(2), (batch, 180, 240, 1))
+    params, opt_state, loss = step(params, opt_state, seq, gt)  # compile
+    float(loss)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            params, opt_state, loss = step(params, opt_state, seq, gt)
+        float(loss)
+        best = min(best, (time.perf_counter() - t0) / steps)
+    sps = batch / best
+    # MFU: ~4x the forward conv FLOPs per frame (fwd + ~2x bwd + ~1x remat
+    # recompute), T frames per sample, vs the v5e's 197 TFLOP/s bf16 peak
+    # (fp32 runs through the same MXU at half rate -> use 98.5 TF/s).
+    mfu = sps * seq_len * CISTA_LSTC_FLOPS_PER_FRAME * 4 / 98.5e12
+    print(f"[bench] e2v_train: {best*1e3:.1f} ms/step, {sps:.2f} samples/s, "
+          f"~{mfu*100:.0f}% MFU (fp32, 4x-fwd convention)",
+          file=sys.stderr, flush=True)
+    return sps
+
+
 def bench_voxelize(n_events: int = 15000, capacity: int = 16384, chain: int = 50) -> float:
     import numpy as np
 
@@ -296,6 +395,8 @@ def main():
         ("e2v_int8_dyn_b16_fps",
          lambda: bench_e2v(batch=16, dtype=jnp.bfloat16, quant="int8")),
         ("e2v_bf16_b16_fps", lambda: bench_e2v(batch=16, dtype=jnp.bfloat16)),
+        ("v2e2v_fps", bench_v2e2v),
+        ("e2v_train_samples_s", bench_e2v_train),
         ("v2e_pack_ms", bench_v2e_pack),
         ("voxelize_mev_s", lambda: bench_voxelize() / 1e6),
         ("e2v_bf16_b8_fps", lambda: bench_e2v(batch=8, dtype=jnp.bfloat16)),

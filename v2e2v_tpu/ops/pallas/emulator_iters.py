@@ -30,14 +30,17 @@ def _iters_kernel(
     seed_ref, ts_step_ref, nit_ref, gate_ref, tfb_ref,
     voxel_ref, mem_out_ref, final_ref,
 ):
+    row = pl.program_id(0)
     counts = counts_ref[0]  # [H, W] int32
     pol = pol_ref[0]  # [H, W] f32 in {-1, 0, 1}
     mem = mem_ref[0]  # [H, W] f32 last-spike time (bin units)
     trf = trf_ref[0]  # [H, W] f32 refractory period (bin units)
-    ts_step = ts_step_ref[0, 0]
-    nit = nit_ref[0, 0]  # num_iters for this batch row
-    gate = gate_ref[0, 0] > 0  # refractory active (Tr > ts_step)
-    tfb = tfb_ref[0, 0]  # voxel-time base of this frame pair
+    # per-row scalars live whole in SMEM (a (1,1) block of a (b,1) array is
+    # rejected by Mosaic's divisible-or-whole rule for b>1) — index by row
+    ts_step = ts_step_ref[row, 0]
+    nit = nit_ref[row, 0]  # num_iters for this batch row
+    gate = gate_ref[row, 0] > 0  # refractory active (Tr > ts_step)
+    tfb = tfb_ref[row, 0]  # voxel-time base of this frame pair
 
     if shot:
         om = om_ref[0]
@@ -46,7 +49,7 @@ def _iters_kernel(
             # hardware PRNG, seeded per (pair, batch row); draws replace the
             # XLA-side threefry whose generation costs ~26 ms/pack on this
             # platform regardless of key/impl (BENCH_NOTES.md)
-            pltpu.prng_seed(seed_ref[0, 0])
+            pltpu.prng_seed(seed_ref[row, 0])
 
     final = jnp.zeros_like(counts)
     accs = [jnp.zeros_like(pol) for _ in range(num_bins)]
@@ -113,9 +116,6 @@ def emulator_iters_pallas(
     def row(i):
         return (i, 0, 0)
 
-    def row_scalar(i):
-        return (i, 0)
-
     seed2 = seed.reshape(b, 1).astype(jnp.int32)
     ts_step2 = ts_step.reshape(b, 1)
     nit2 = num_iters.reshape(b, 1).astype(jnp.int32)
@@ -123,7 +123,10 @@ def emulator_iters_pallas(
     tfb2 = jnp.broadcast_to(tf_base.astype(jnp.float32), (b, 1))
 
     plane = pl.BlockSpec((1, h, w), row, memory_space=pltpu.VMEM)
-    scalar = pl.BlockSpec((1, 1), row_scalar, memory_space=pltpu.SMEM)
+    # whole (b,1) scalar array to every program (a (1,1) block of a (b,1)
+    # array violates Mosaic's divisible-or-whole rule for b>1); the kernel
+    # indexes by pl.program_id
+    scalar = pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
     ri = rand01.shape[0]
     voxel_nb_first, mem_out, final = pl.pallas_call(
