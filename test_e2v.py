@@ -161,8 +161,28 @@ class Reconstructor:
             run_steps, qp, model_mode=self.cfg.model_mode,
             depth=self.cfg.depth, margin=1.25,
         )
-        print("[int8-static] activation scales calibrated on the first pack")
-        return {**self.params, "_quant": qp_static}
+        # drift gate (VERDICT r4 #5): compare float vs int8-static on the
+        # calibration pack; a checkpoint whose activations saturate the
+        # calibrated range falls back to dynamic int8 instead of silently
+        # serving clipped activations.
+        from v2e2v_tpu.models.cista import int8_static_drift_check
+
+        p_static = {**self.params, "_quant": qp_static}
+        delta, ok = int8_static_drift_check(
+            p_static, self.cfg, ev, prev, state, budget=0.01
+        )
+        if not ok:
+            print(
+                f"[int8-static] WARNING: float-vs-int8 SSIM delta {delta:.4f} "
+                "exceeds the 0.01 budget on the calibration pack — falling "
+                "back to dynamic int8 scales"
+            )
+            return {**self.params, "_quant": qp}
+        print(
+            "[int8-static] activation scales calibrated on the first pack "
+            f"(float-vs-int8 SSIM delta {delta:.4f}, budget 0.01)"
+        )
+        return p_static
 
     def run(self):
         import jax.numpy as jnp

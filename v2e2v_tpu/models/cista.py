@@ -93,6 +93,14 @@ class CistaConfig:
     # checkpoint-dependent — validate with scripts/bench_quant.py before
     # serving with it. Supported by both model modes.
     quant: str = "none"
+    # With quant='int8' AND calibrated static scales injected
+    # (``params['_quant']`` carrying per-site ``s_x``): store the ISTA code
+    # z as int8 BETWEEN iterations — the residual ``x + z`` reads the
+    # dequantized ``z_q * s_z`` (the same rounding the D conv already
+    # sees), so the bf16 z never hits HBM; the quantize fuses into the
+    # softshrink producer (HLO census, BENCH_NOTES.md round 4). Static so
+    # it can gate Python control flow; ignored without static scales.
+    requant_chain: bool = False
     # sequence IO layout inside ``cista_sequence``: 'full' keeps the
     # reference layout per step; 'parity' (cista-lstc + fullres_impl='fused'
     # + even dims only) space-to-depth-packs the voxel/image IO ONCE outside
@@ -347,14 +355,35 @@ def cista_lstc_step_int8(
     z, cell = qconv_lstc_step(qp["lstc"], x1, state.z, state.cell)
 
     lam = params["lista"]["Lambda"]
-    tmp = z
-    for _ in range(cfg.depth):
-        tmp = qconv2d(tmp, qp["D"])
-        x = x1 - tmp
-        x = qconv2d(x, qp["P"])
-        x = x + z
-        z = softshrink(x, lam)
+    s_z = qp["D"].get("s_x") if cfg.requant_chain else None
+    if s_z is not None:
+        # Requant chain (int8 activation storage, VERDICT r4 #1): with a
+        # static D-site scale, z's ONLY in-loop float consumer is the
+        # residual ``x + z`` — feeding it the dequantized ``z_q * s_z``
+        # (same rounding the conv already sees) lets the quantize fuse
+        # into the softshrink producer, so the bf16 z (2 bytes/elem x
+        # depth stores/step) never hits HBM; only the s8 conv input does.
+        from ..ops.qconv import qconv2d_pre, quantize_with
+
+        dt = x1.dtype
+        z_q = quantize_with(z, s_z)
+        for i in range(cfg.depth):
+            tmp = qconv2d_pre(z_q, s_z, qp["D"], out_dtype=dt)
+            x = x1 - tmp
+            x = qconv2d(x, qp["P"])
+            x = x + (z_q.astype(jnp.float32) * s_z).astype(dt)
+            z = softshrink(x, lam)
+            if i + 1 < cfg.depth:
+                z_q = quantize_with(z, s_z)
+    else:
         tmp = z
+        for _ in range(cfg.depth):
+            tmp = qconv2d(tmp, qp["D"])
+            x = x1 - tmp
+            x = qconv2d(x, qp["P"])
+            x = x + z
+            z = softshrink(x, lam)
+            tmp = z
 
     x = jax.nn.relu(qconv2d(z, qp["dg_conv"]))
     rec, dg_state = qconv_lstm_step(qp["lstm"], x, state.dg)
@@ -508,6 +537,41 @@ def get_step_fn(cfg: CistaConfig):
             return cista_tc_step_int8
         return cista_tc_step
     raise ValueError(f"model_mode must be 'cista-lstc' or 'cista-tc', got {cfg.model_mode!r}")
+
+
+def int8_static_drift_check(
+    params: Params,
+    cfg: CistaConfig,
+    events: jax.Array,
+    prev_image: jax.Array,
+    state: CistaState,
+    budget: float = 0.01,
+) -> tuple[float, bool]:
+    """Guard against silent int8-static saturation (VERDICT r4 #5).
+
+    Runs ``events`` (typically the calibration pack) through the FLOAT step
+    and the int8 step with whatever ``params['_quant']`` carries (static
+    scales when calibrated), and compares the reconstructions: returns
+    ``(ssim_delta, ok)`` where ``ssim_delta = 1 - mean_batch SSIM(float,
+    int8)``. A checkpoint or input distribution whose activations saturate
+    the calibrated +-127 range shows up here as structural damage; callers
+    fall back to dynamic int8 (drop the static ``s_x`` leaves) when not ok.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from ..utils.evaluate import ssim
+
+    cfg_f = dataclasses.replace(cfg, quant="none")
+    rec_f, _ = get_step_fn(cfg_f)(params, cfg_f, events, prev_image, state)
+    rec_q, _ = get_step_fn(cfg)(params, cfg, events, prev_image, state)
+    a = np.asarray(rec_f[..., 0], np.float32)
+    b = np.asarray(rec_q[..., 0], np.float32)
+    delta = 1.0 - float(
+        np.mean([ssim(a[i], b[i]) for i in range(a.shape[0])])
+    )
+    return delta, delta <= budget
 
 
 def cista_sequence(

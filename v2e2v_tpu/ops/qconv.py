@@ -79,6 +79,48 @@ def quantize_activation(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return x_q, s_x
 
 
+def quantize_with(x: jax.Array, s_x: jax.Array) -> jax.Array:
+    """Quantize with a given (static) scale: beyond-range saturates at +-127."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127).astype(jnp.int8)
+
+
+def qconv2d_pre(
+    x_q: jax.Array,
+    s_x: jax.Array,
+    qp: Params,
+    padding: int = 1,
+    stride: int = 1,
+    pad_mode: str = "reflect",
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """``qconv2d`` on an ALREADY-quantized int8 input (requant-chain path).
+
+    Used when the activation lives in int8 between convs (``s_x`` is its
+    static scale): the caller quantized once at the producer, so neither a
+    dynamic abs-max pass nor a fresh quantize happens here. HBM effect: the
+    bf16 activation between the producer and this conv never materializes —
+    only the s8 (padded) conv input does (HLO census, BENCH_NOTES.md).
+    """
+    if padding > 0:
+        x_q = jnp.pad(
+            x_q,
+            ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+            mode=pad_mode if pad_mode != "zeros" else "constant",
+        )
+    acc = jax.lax.conv_general_dilated(
+        x_q,
+        qp["w_q"],
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (s_x * qp["s_w"])
+    if "bias" in qp:
+        y = y + qp["bias"]
+    return y.astype(out_dtype)
+
+
 def qconv2d(
     x: jax.Array,
     qp: Params,

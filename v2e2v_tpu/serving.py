@@ -115,7 +115,7 @@ class StreamPool:
         self._next_id = 0
         self._slot_of: dict[int, int] = {}
 
-    def calibrate(self, voxels: jax.Array) -> None:
+    def calibrate(self, voxels: jax.Array, drift_budget: float = 0.01) -> bool:
         """Calibrate static int8 activation scales from sample voxel grids.
 
         ``voxels``: ``[steps, batch, H, W, num_bins]`` representative inputs
@@ -124,9 +124,16 @@ class StreamPool:
         abs-max pass (+16%% measured throughput at b=16; BENCH_NOTES.md
         round 4). Requires ``cfg.quant == 'int8'``; margin 1.25 leaves
         headroom beyond the calibration range (saturating clip past it).
+
+        Drift gate (VERDICT r4 #5): after calibrating, the first calibration
+        step is re-run float vs int8-static; if the reconstruction SSIM
+        delta exceeds ``drift_budget`` the pool KEEPS the dynamic scales
+        (returns False) instead of silently serving saturated activations.
+        Returns True when the static scales were adopted.
         """
         if self.cfg.quant != "int8":
             raise ValueError("calibrate() requires cfg.quant == 'int8'")
+        from .models.cista import int8_static_drift_check
         from .ops.qconv import calibrate_step_scales
 
         qp = self.params["_quant"]
@@ -146,10 +153,23 @@ class StreamPool:
             run_steps, qp, model_mode=self.cfg.model_mode,
             depth=self.cfg.depth, margin=1.25,
         )
-        self.params = {**self.params, "_quant": qp_static}
+        p_static = {**self.params, "_quant": qp_static}
+        delta, ok = int8_static_drift_check(
+            p_static, self.cfg, voxels[0].astype(self.dtype), prev, state,
+            budget=drift_budget,
+        )
+        if not ok:
+            print(
+                f"[StreamPool] WARNING: float-vs-int8 SSIM delta {delta:.4f} "
+                f"exceeds the {drift_budget} budget — keeping dynamic int8 "
+                "scales"
+            )
+            return False
+        self.params = p_static
         if self._slot_shard is not None:
             rep = NamedSharding(self._slot_shard.mesh, P())
             self.params = jax.device_put(self.params, rep)
+        return True
 
     def attach(self) -> int:
         """Claim a free slot for a new stream; returns the stream id."""
