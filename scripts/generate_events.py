@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from v2e2v_tpu.utils.profiling import apply_platform_override
+
+    apply_platform_override()  # V2E2V_PLATFORM=cpu + persistent compile cache
+
     import jax
     import jax.numpy as jnp
 

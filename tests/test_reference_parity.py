@@ -184,11 +184,11 @@ def test_cista_tc_vs_reference(ref):
 # Event emulator
 # ---------------------------------------------------------------------------
 
-def _make_ref_emulator(ref, cfg, frames_t, ts_t, state_j):
+def _make_ref_emulator(ref, cfg, frames_t, ts_t, state_j, output_mode="voxel_grid"):
     """Build the reference EventEmulator, run its _init manually, and inject
     the JAX-sampled per-pixel thresholds so both sides share them."""
     em = ref.v2e.EventEmulator(
-        output_mode="voxel_grid",
+        output_mode=output_mode,
         pl=cfg.pl, ps=cfg.ps, ql=cfg.ql, qs=cfg.qs,
         num_bins=cfg.num_bins,
         pos_thres=cfg.pos_thres, neg_thres=cfg.neg_thres,
@@ -304,6 +304,92 @@ def test_emulator_cutoff_vs_reference(ref):
         np.testing.assert_allclose(
             vox_j[i], vox_t[i], atol=1e-4, rtol=1e-4, err_msg=f"pack {i}"
         )
+
+
+def test_emulator_raw_mode_vs_reference(ref):
+    """Raw-event output (reference ``output_mode='raw'``,
+    ``v2e/v2e_model.py:504-534``): deterministic config, shared thresholds —
+    the event MULTISET must match exactly (t to float32 precision; x, y,
+    polarity, batch exact) across two packs including the continuation.
+
+    Row ORDER is compared only as a contract on our side: the reference's
+    final sort-by-batch uses ``torch.sort`` (UNSTABLE), which scrambles the
+    t-sorted order within a batch whenever batch ids tie — with batch_size=1
+    its output order is nondeterministic garbage beyond the multiset. Ours
+    uses stable sorts (batch-major, t ascending within batch), a
+    deterministic refinement of the reference's documented intent."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2e2v_tpu.models.emulator import (
+        EmulatorConfig, emulate_pack_raw, emulator_init,
+    )
+    from v2e2v_tpu.ops.numerics import lin_log
+
+    cfg = EmulatorConfig(
+        output_mode="raw",
+        pos_thres=0.3, neg_thres=0.3, sigma_thres=0.03,
+        leak_rate_hz=0.0, shot_noise_rate_hz=0.0, cutoff_hz=0.0,
+        refractory_period_s=0.001, num_bins=5,
+    )
+    b, n, h, w = 1, 6, 12, 16
+    rng = np.random.default_rng(11)
+    packs = [
+        np.round(40.0 + 170.0 * rng.random((b, n, h, w))).astype(np.float32)
+        for _ in range(2)
+    ]
+    packs[1][:, 0] = packs[0][:, -1]
+    ts = [
+        np.broadcast_to(
+            0.03 * i + np.linspace(0.0, 0.03, n, dtype=np.float32), (b, n)
+        ).copy()
+        for i in range(2)
+    ]
+
+    frames0, tsj0 = jnp.asarray(packs[0]), jnp.asarray(ts[0])
+    window = tsj0[:, -1] - tsj0[:, 0]
+    tr = (cfg.num_bins - 1) * cfg.refractory_period_s / window
+    tr_frames = jnp.broadcast_to(tr[:, None, None], (b, h, w)).astype(jnp.float32)
+    state = emulator_init(
+        jax.random.PRNGKey(3), cfg, lin_log(frames0)[:, 0], tr_frames, tsj0[0, 0]
+    )
+    state0 = state
+
+    evs_j, nev_j = [], []
+    for frames, t in zip(packs, ts):
+        e, ne, state = emulate_pack_raw(
+            cfg, state, jnp.asarray(frames), jnp.asarray(t)
+        )
+        evs_j.append(np.asarray(e, np.float64))
+        nev_j.append(ne)
+
+    em = _make_ref_emulator(
+        ref, cfg, torch.from_numpy(packs[0]), torch.from_numpy(ts[0]), state0,
+        output_mode="raw",
+    )
+    evs_t, nev_t = [], []
+    for frames, t in zip(packs, ts):
+        with torch.no_grad():
+            e, ne = em(torch.from_numpy(frames), torch.from_numpy(t))
+        evs_t.append(e.numpy().astype(np.float64))
+        nev_t.append(int(ne))
+
+    def lex(e):
+        # canonical multiset order: (batch, t rounded past f32 noise, y, x, p)
+        return e[np.lexsort((e[:, 3], e[:, 1], e[:, 2], np.round(e[:, 0], 5), e[:, 4]))]
+
+    for i in range(2):
+        assert nev_j[i] == nev_t[i], f"pack {i}: {nev_j[i]} vs {nev_t[i]} events"
+        assert len(evs_j[i]) == len(evs_t[i]) == nev_j[i]
+        a, r = lex(evs_j[i]), lex(evs_t[i])
+        np.testing.assert_allclose(a[:, 0], r[:, 0], atol=1e-5, err_msg=f"pack {i} t")
+        np.testing.assert_array_equal(a[:, 1:], r[:, 1:], err_msg=f"pack {i} xypb")
+        # our output order contract: batch-major, t ascending within batch
+        e = evs_j[i]
+        assert np.all(np.diff(e[:, 4]) >= 0)
+        for bi in np.unique(e[:, 4]):
+            tt = e[e[:, 4] == bi][:, 0]
+            assert np.all(np.diff(tt) >= 0), f"pack {i}: t not sorted in batch {bi}"
 
 
 def test_emulator_leak_statistical(ref):
