@@ -100,3 +100,17 @@ def test_parse_txt_page_boundary_no_trailing_newline(tmp_path):
     events = runtime.parse_events_txt(str(path))
     assert events.shape == (n_rows + 1, 4)
     assert events[-1, 0] == 0.5 and events[-1, 1] == 30
+
+
+def test_voxelize_rejects_out_of_range_coords():
+    """Events beyond the grid must raise (numpy-oracle ``np.add.at``
+    contract) instead of smashing the heap — the observed failure was a
+    SIGSEGV when a 180x240 dataset met ``--image_dim 32 40``."""
+    events = _random_events(200, 240, 180, seed=3)
+    with pytest.raises(IndexError, match="image_dim"):
+        runtime.voxelize_events(events, 5, 40, 32)
+    # in-range still works
+    grid = runtime.voxelize_events(events, 5, 240, 180)
+    np.testing.assert_allclose(
+        grid, events_to_voxel_grid_np(events, 5, 240, 180), atol=1e-5
+    )

@@ -24,24 +24,51 @@ class NativeUnavailable(RuntimeError):
     pass
 
 
+def _host_fingerprint() -> str:
+    """CPU feature fingerprint: ``-march=native`` binaries are NOT portable
+    across the session hosts this repo moves between (a stale .so can
+    SIGILL), so the build is keyed to the host's flags line."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return line.strip()
+    except OSError:
+        pass
+    return "unknown"
+
+
 def _build() -> None:
     subprocess.run(
         ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
         check=True,
         capture_output=True,
     )
+    with open(_SO + ".host", "w") as f:
+        f.write(_host_fingerprint())
+
+
+def _stale() -> bool:
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        return True
+    try:
+        with open(_SO + ".host") as f:
+            return f.read() != _host_fingerprint()
+    except OSError:
+        return True
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    if _stale():
         _build()
     lib = ctypes.CDLL(_SO)
     lib.ev_parse_txt.restype = ctypes.c_long
     lib.ev_parse_txt.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_double))]
     lib.ev_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
+    lib.ev_voxelize.restype = ctypes.c_long
     lib.ev_voxelize.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
@@ -86,15 +113,24 @@ def voxelize_events(
     hot_pixel_threshold: float = 0.0,
 ) -> np.ndarray:
     """Native events -> voxel grid (reference semantics); optional fused
-    hot-pixel filter + nonzero mean/std normalization."""
+    hot-pixel filter + nonzero mean/std normalization.
+
+    Raises IndexError when any event coordinate falls outside the grid —
+    the same contract as the numpy oracle's ``np.add.at`` (typically an
+    ``--image_dim`` that doesn't match the dataset resolution)."""
     lib = _load()
     events = np.ascontiguousarray(events, dtype=np.float64)
     grid = np.empty((num_bins, height, width), np.float32)
-    lib.ev_voxelize(
+    oob = lib.ev_voxelize(
         events.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         len(events), num_bins, width, height,
         grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
+    if oob:
+        raise IndexError(
+            f"{oob}/{len(events)} events outside {width}x{height} — does "
+            "--image_dim match the dataset resolution?"
+        )
     if preprocess:
         lib.ev_preprocess_std(
             grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

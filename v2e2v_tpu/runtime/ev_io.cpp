@@ -114,16 +114,21 @@ void ev_free(double* p) { free(p); }
 // [num_bins, height, width] float32 grid (zeroed here). Reference
 // semantics: normalize t to [0, num_bins-1] by the window's first/last
 // stamps (deltaT==0 -> 1), polarity 0 -> -1, bilinear split across bins.
-void ev_voxelize(const double* events, long n, int num_bins, int width,
+// Returns the number of events whose (x, y) fell outside [0,width)x
+// [0,height) — those are SKIPPED, not written (the numpy oracle raises
+// IndexError there; an unchecked write here is a heap smash, observed as
+// a SIGSEGV when a 180x240 dataset met --image_dim 32 40).
+long ev_voxelize(const double* events, long n, int num_bins, int width,
                  int height, float* grid) {
     const long plane = static_cast<long>(width) * height;
     memset(grid, 0, sizeof(float) * plane * num_bins);
-    if (n <= 0) return;
+    if (n <= 0) return 0;
 
     const double first = events[0];
     double delta_t = events[(n - 1) * 4] - first;
     if (delta_t == 0.0) delta_t = 1.0;
 
+    long oob = 0;
     for (long i = 0; i < n; ++i) {
         // expression order matches the numpy reference exactly — a 1-ulp
         // difference here flips exact-zero bilinear weights into residues
@@ -131,6 +136,7 @@ void ev_voxelize(const double* events, long n, int num_bins, int width,
         const double ts = (num_bins - 1) * (events[i * 4 + 0] - first) / delta_t;
         const long x = static_cast<long>(events[i * 4 + 1]);
         const long y = static_cast<long>(events[i * 4 + 2]);
+        if (x < 0 || x >= width || y < 0 || y >= height) { ++oob; continue; }
         double pol = events[i * 4 + 3];
         if (pol == 0.0) pol = -1.0;
 
@@ -143,6 +149,7 @@ void ev_voxelize(const double* events, long n, int num_bins, int width,
         if (ti + 1 >= 0 && ti + 1 < num_bins)
             grid[base + (ti + 1) * plane] += static_cast<float>(pol * dt);
     }
+    return oob;
 }
 
 // Hot-pixel filter + nonzero mean/std normalization (reference
