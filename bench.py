@@ -126,6 +126,11 @@ def bench_e2v(batch: int, steps: int = 64, dtype=jnp.float32, chain: int = 6,
 
         qp = calibrate_step_scales(run_calib, qp, depth=cfg.depth, margin=1.1)
         params = {**params, "_quant": qp}
+        # static scales unlock the requant chain (int8 ISTA-code storage
+        # between iterations): 5.206 -> 5.092 ms/step measured at b=16
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, requant_chain=True)
 
     @jax.jit
     def run(params, seq):

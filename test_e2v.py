@@ -165,11 +165,19 @@ class Reconstructor:
         # calibration pack; a checkpoint whose activations saturate the
         # calibrated range falls back to dynamic int8 instead of silently
         # serving clipped activations.
+        import dataclasses
+
         from v2e2v_tpu.models.cista import int8_static_drift_check
 
+        cfg_run = self.cfg
+        if self.cfg.model_mode == "cista-lstc":
+            # static scales unlock the requant chain (int8 ISTA-code storage
+            # between iterations, +2.3% measured at the flagship shape); the
+            # drift gate below covers the chained step, not just the scales
+            cfg_run = dataclasses.replace(self.cfg, requant_chain=True)
         p_static = {**self.params, "_quant": qp_static}
         delta, ok = int8_static_drift_check(
-            p_static, self.cfg, ev, prev, state, budget=0.01
+            p_static, cfg_run, ev, prev, state, budget=0.01
         )
         if not ok:
             print(
@@ -182,6 +190,9 @@ class Reconstructor:
             "[int8-static] activation scales calibrated on the first pack "
             f"(float-vs-int8 SSIM delta {delta:.4f}, budget 0.01)"
         )
+        if cfg_run is not self.cfg:
+            self.cfg = cfg_run
+            self.step = make_step(self.cfg, dtype)
         return p_static
 
     def run(self):

@@ -153,9 +153,16 @@ class StreamPool:
             run_steps, qp, model_mode=self.cfg.model_mode,
             depth=self.cfg.depth, margin=1.25,
         )
+        import dataclasses
+
+        cfg_run = self.cfg
+        if self.cfg.model_mode == "cista-lstc":
+            # static scales unlock the requant chain (int8 ISTA-code storage,
+            # +2.3% measured); the gate below covers the chained step
+            cfg_run = dataclasses.replace(self.cfg, requant_chain=True)
         p_static = {**self.params, "_quant": qp_static}
         delta, ok = int8_static_drift_check(
-            p_static, self.cfg, voxels[0].astype(self.dtype), prev, state,
+            p_static, cfg_run, voxels[0].astype(self.dtype), prev, state,
             budget=drift_budget,
         )
         if not ok:
@@ -165,6 +172,7 @@ class StreamPool:
                 "scales"
             )
             return False
+        self.cfg = cfg_run
         self.params = p_static
         if self._slot_shard is not None:
             rep = NamedSharding(self._slot_shard.mesh, P())
