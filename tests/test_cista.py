@@ -125,15 +125,15 @@ def test_cista_sequence_remat_matches_values_and_grads():
     forward values or the BPTT gradients — only the backward-pass memory."""
     cfg = CistaConfig(image_dim=(H, W), base_channels=C, depth=2, num_bins=NB)
     params = init_cista_lstc(jax.random.PRNGKey(1), cfg)
-    seq = jax.random.normal(jax.random.PRNGKey(3), (4, 2, H, W, NB))
+    seq = jax.random.normal(jax.random.PRNGKey(3), (3, 2, H, W, NB))
     gt = jax.random.uniform(jax.random.PRNGKey(4), (2, H, W, 1))
 
     def loss(params, remat):
         recs, _ = cista_sequence(params, cfg, seq, remat=remat)
         return jnp.mean((recs[-1] - gt) ** 2)
 
-    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
-    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    l0, g0 = jax.jit(jax.value_and_grad(lambda p: loss(p, False)))(params)
+    l1, g1 = jax.jit(jax.value_and_grad(lambda p: loss(p, True)))(params)
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(

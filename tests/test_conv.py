@@ -191,15 +191,18 @@ class TestReflectFastPath:
             ),
             "bias": jnp.asarray(rng.normal(size=(cout,)).astype(np.float32)),
         }
-        assert conv_mod.REFLECT_FAST_PATH  # default ON
-        y_fast = conv2d(x, params, padding=1)
-        g_fast = jax.grad(lambda v: (conv2d(v, params, padding=1) ** 2).sum())(x)
+        # the suite conftest pins REFLECT_FAST_PATH=False globally (CPU
+        # trace/compile cost); force each leg explicitly and restore
+        saved = conv_mod.REFLECT_FAST_PATH
         try:
+            conv_mod.REFLECT_FAST_PATH = True
+            y_fast = conv2d(x, params, padding=1)
+            g_fast = jax.grad(lambda v: (conv2d(v, params, padding=1) ** 2).sum())(x)
             conv_mod.REFLECT_FAST_PATH = False
             y_ref = conv2d(x, params, padding=1)
             g_ref = jax.grad(lambda v: (conv2d(v, params, padding=1) ** 2).sum())(x)
         finally:
-            conv_mod.REFLECT_FAST_PATH = True
+            conv_mod.REFLECT_FAST_PATH = saved
         np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref), atol=2e-5)
         scale = max(1.0, float(jnp.max(jnp.abs(g_ref))))
         np.testing.assert_allclose(
@@ -216,11 +219,19 @@ class TestReflectFastPath:
         self._compare(32, 16)
 
     def test_vs_torch_oracle(self):
-        # independent oracle at a fast-path-eligible size
+        # independent oracle at a fast-path-eligible size; force the fast
+        # path (the suite conftest disables the default routing)
+        from v2e2v_tpu.ops import conv as conv_mod
+
         rng = np.random.default_rng(3)
         x = rng.normal(size=(1, 20, 18, 3)).astype(np.float32)
         conv, params = _rand_torch_conv(3, 5, 3, seed=7)
-        got = np.asarray(conv2d(jnp.asarray(x), params, padding=1))
+        saved = conv_mod.REFLECT_FAST_PATH
+        try:
+            conv_mod.REFLECT_FAST_PATH = True
+            got = np.asarray(conv2d(jnp.asarray(x), params, padding=1))
+        finally:
+            conv_mod.REFLECT_FAST_PATH = saved
         xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
         want = conv(F.pad(xt, (1, 1, 1, 1), mode="reflect")).detach().numpy()
         np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 1)), atol=2e-5)

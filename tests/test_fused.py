@@ -244,15 +244,17 @@ def test_cista_sequence_parity_io_matches_full():
     (same algebra, different f32 summation order)."""
     from v2e2v_tpu.models.cista import cista_sequence
 
-    cfg = CistaConfig(image_dim=(32, 40), base_channels=16, depth=3, num_bins=5)
+    # the equality is size-independent algebra; depth 2 / T=3 / b=1 keeps
+    # the border kernels + BPTT coverage at a fraction of the compile cost
+    cfg = CistaConfig(image_dim=(32, 40), base_channels=16, depth=2, num_bins=5)
     cfgp = CistaConfig(
-        image_dim=(32, 40), base_channels=16, depth=3, num_bins=5,
+        image_dim=(32, 40), base_channels=16, depth=2, num_bins=5,
         io_layout="parity",
     )
     params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(13)
-    seq = jnp.asarray(rng.normal(size=(4, 2, 32, 40, 5)).astype(np.float32))
-    pi = jnp.asarray(rng.random((2, 32, 40, 1)).astype(np.float32))
+    seq = jnp.asarray(rng.normal(size=(3, 1, 32, 40, 5)).astype(np.float32))
+    pi = jnp.asarray(rng.random((1, 32, 40, 1)).astype(np.float32))
 
     r0, s0 = cista_sequence(params, cfg, seq, prev_image=pi)
     r1, s1 = cista_sequence(params, cfgp, seq, prev_image=pi)
@@ -268,8 +270,8 @@ def test_cista_sequence_parity_io_matches_full():
         r, _ = cista_sequence(p, c, seq, prev_image=pi)
         return (r ** 2).mean()
 
-    g0 = jax.grad(loss)(params, cfg)
-    g1 = jax.grad(loss)(params, cfgp)
+    g0 = jax.jit(jax.grad(loss), static_argnums=1)(params, cfg)
+    g1 = jax.jit(jax.grad(loss), static_argnums=1)(params, cfgp)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4

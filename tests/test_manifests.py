@@ -116,6 +116,14 @@ def test_generate_events_roundtrip_to_training(synth_dir, tmp_path):
 
     env = dict(os.environ, JAX_PLATFORMS="cpu", V2E2V_PLATFORM="cpu")
     env.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+    # correctness-tier compile flags (conftest.py) for the subprocess too —
+    # it compiles its own emulator programs
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_backend_optimization_level=0"
+        + " --xla_llvm_disable_expensive_passes=true"
+    )
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     r = subprocess.run(
         [
             sys.executable, os.path.join(REPO, "scripts", "generate_events.py"),

@@ -74,12 +74,12 @@ def test_qconv_fidelity_vs_float():
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_quant_sequence_tracks_float(dtype):
     """int8 CISTA-LSTC over a short recurrence stays near the float path."""
-    cfg = CistaConfig(image_dim=(32, 40), base_channels=16, depth=3, num_bins=5)
+    cfg = CistaConfig(image_dim=(32, 40), base_channels=16, depth=2, num_bins=5)
     cfg_q = CistaConfig(
-        image_dim=(32, 40), base_channels=16, depth=3, num_bins=5, quant="int8"
+        image_dim=(32, 40), base_channels=16, depth=2, num_bins=5, quant="int8"
     )
     params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
-    seq = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (4, 2, 32, 40, 5), dtype)
+    seq = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (3, 2, 32, 40, 5), dtype)
     params_c = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
     state = cista_zero_state(cfg, 2, dtype)
 
@@ -102,12 +102,12 @@ def test_quant_sequence_tracks_float_cista_tc():
     attention projections float) tracks the float path."""
     from v2e2v_tpu.models.cista import init_cista_tc
 
-    kw = dict(image_dim=(32, 40), base_channels=16, depth=3, num_bins=5,
+    kw = dict(image_dim=(32, 40), base_channels=16, depth=2, num_bins=5,
               model_mode="cista-tc")
     cfg = CistaConfig(**kw)
     cfg_q = CistaConfig(**kw, quant="int8")
     params = init_cista_tc(jax.random.PRNGKey(0), cfg)
-    seq = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (4, 2, 32, 40, 5))
+    seq = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (3, 2, 32, 40, 5))
 
     recs_f, _ = jax.jit(lambda p, s: cista_sequence(p, cfg, s))(params, seq)
     recs_q, _ = jax.jit(lambda p, s: cista_sequence(p, cfg_q, s))(params, seq)
@@ -117,20 +117,20 @@ def test_quant_sequence_tracks_float_cista_tc():
     assert np.mean(np.abs(recs_q[-1] - recs_f[-1])) < 0.05
 
 
-@pytest.mark.parametrize("use_jit", [True, False])
-def test_static_scale_calibration_tracks_dynamic(use_jit):
+def test_static_scale_calibration_tracks_dynamic():
     """Calibrated static activation scales (qconv.py calibrate_step_scales)
     reproduce the dynamic-scale int8 path closely on the data distribution
-    they were calibrated on, and every conv site receives a scale — in both
-    the traced (one-compile) and eager calibration modes."""
+    they were calibrated on, every conv site receives a scale, and the
+    eager calibration mode observes the SAME scales as the traced
+    (one-compile) mode."""
     from v2e2v_tpu.models.cista import cista_lstc_step_int8
     from v2e2v_tpu.ops.qconv import calibrate_step_scales, quantize_cista_core
 
     cfg = CistaConfig(
-        image_dim=(32, 40), base_channels=16, depth=3, num_bins=5, quant="int8"
+        image_dim=(32, 40), base_channels=16, depth=2, num_bins=5, quant="int8"
     )
     params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
-    seq = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (4, 2, 32, 40, 5))
+    seq = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (3, 2, 32, 40, 5))
     prev = jnp.zeros((2, 32, 40, 1), jnp.float32)
     state0 = cista_zero_state(cfg, 2)
 
@@ -142,13 +142,29 @@ def test_static_scale_calibration_tracks_dynamic(use_jit):
         for t in range(seq.shape[0]):
             _, s = cista_lstc_step_int8(params_dyn, cfg, seq[t], prev, s)
 
-    qp_static = calibrate_step_scales(run_steps, qp, depth=cfg.depth, use_jit=use_jit)
+    qp_static = calibrate_step_scales(run_steps, qp, depth=cfg.depth, use_jit=True)
     for site in ("D", "P", "dg_conv"):
         assert "s_x" in qp_static[site], site
     for site in ("gates", "P0", "out_gates"):
         assert "s_x" in qp_static["lstc"][site], site
     assert "s_x" in qp_static["lstm"]["Gates"]
     assert "s_x" not in qp["D"]  # calibration must not mutate its input
+
+    # the eager (use_jit=False) mode must observe identical scales — a
+    # direct equivalence check, replacing a second full parametrized run.
+    # One step only: the eager leg dispatches op-by-op (uncacheable), and
+    # one step exercises every site the traced interceptor sees.
+    def run_one():
+        cista_lstc_step_int8(params_dyn, cfg, seq[0], prev, state0)
+
+    qp_tr1 = calibrate_step_scales(run_one, qp, depth=cfg.depth, use_jit=True)
+    qp_eg1 = calibrate_step_scales(run_one, qp, depth=cfg.depth, use_jit=False)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=1e-6
+        ),
+        qp_tr1, qp_eg1,
+    )
 
     params_sta = {**params, "_quant": qp_static}
 
@@ -175,7 +191,7 @@ def test_static_scale_calibration_cista_tc():
     from v2e2v_tpu.ops.qconv import calibrate_step_scales, quantize_cista_tc_core
 
     cfg = CistaConfig(
-        image_dim=(32, 40), base_channels=16, depth=3, num_bins=5,
+        image_dim=(32, 40), base_channels=16, depth=2, num_bins=5,
         model_mode="cista-tc", quant="int8",
     )
     params = init_cista_tc(jax.random.PRNGKey(0), cfg)
@@ -253,7 +269,7 @@ def test_requant_chain_tracks_static_and_falls_back():
     from v2e2v_tpu.ops.qconv import calibrate_step_scales, quantize_cista_core
 
     cfg = CistaConfig(
-        image_dim=(32, 40), base_channels=16, depth=3, num_bins=5, quant="int8"
+        image_dim=(32, 40), base_channels=16, depth=2, num_bins=5, quant="int8"
     )
     cfg_chain = dataclasses.replace(cfg, requant_chain=True)
     params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
@@ -312,7 +328,7 @@ def test_int8_static_drift_check_catches_distribution_shift():
     from v2e2v_tpu.ops.qconv import calibrate_step_scales, quantize_cista_core
 
     cfg = CistaConfig(
-        image_dim=(32, 40), base_channels=16, depth=3, num_bins=5, quant="int8"
+        image_dim=(32, 40), base_channels=16, depth=2, num_bins=5, quant="int8"
     )
     params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
     for name, f in (("upsamp_conv", 4.0), ("final_conv", 50.0)):

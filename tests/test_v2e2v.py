@@ -71,7 +71,7 @@ def test_gradient_reaches_e2v_params_only():
         rec = jnp.clip(out.reconstruction, 1e-7, 1 - 1e-7)
         return jnp.mean(jnp.abs(rec - gt))
 
-    g = jax.grad(loss_fn)(params)
+    g = jax.jit(jax.grad(loss_fn))(params)
     assert float(jnp.abs(g["We"]["weight"]).max()) > 0
     assert all(
         np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g)
@@ -151,8 +151,10 @@ def test_sequence_scan_grad_matches_unroll():
             out, state = v2e2v_forward(p, cfg, frames_seq[s], ts_seq[s], state, key=key)
         return jnp.mean((out.reconstruction - gt) ** 2)
 
-    g_scan = jax.grad(loss_scan)(params)
-    g_loop = jax.grad(loss_loop)(params)
+    # jit the grads: compiled execution + persistent-cache hits on warm
+    # reruns (the unrolled BPTT grad is the suite's biggest program)
+    g_scan = jax.jit(jax.grad(loss_scan))(params)
+    g_loop = jax.jit(jax.grad(loss_loop))(params)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6
