@@ -355,7 +355,10 @@ def test_spatial_sharding_matches_with_reflect_fast_path():
     from v2e2v_tpu.ops import conv as conv_mod
     from v2e2v_tpu.parallel.mesh import make_e2v_train_step, make_mesh
 
-    assert conv_mod.REFLECT_FAST_PATH
+    # the suite conftest pins REFLECT_FAST_PATH=False (CPU compile cost);
+    # this test exists to cover the fast path's GSPMD semantics, so force
+    # it on for both legs and restore after
+    saved = conv_mod.REFLECT_FAST_PATH
     cfg = CistaConfig(image_dim=(64, 80), base_channels=8, depth=2, num_bins=5)
     params = init_cista_lstc(jax.random.PRNGKey(0), cfg)
     tx = optax.sgd(1e-2)  # see test_spatial_sharding_matches_single_device
@@ -365,14 +368,20 @@ def test_spatial_sharding_matches_with_reflect_fast_path():
     gt = jax.random.uniform(jax.random.fold_in(key, 1), (2, 64, 80, 1))
 
     results = {}
-    for n_data, n_spatial in ((1, 1), (1, 4)):
-        mesh = make_mesh(n_data, n_spatial, devices=jax.devices()[: n_data * n_spatial])
-        step = make_e2v_train_step(cfg, tx, mesh)
-        p, o, loss = step(
-            jax.tree_util.tree_map(lambda x: x.copy(), params),
-            tx.init(params), voxel_seq, gt,
-        )
-        results[(n_data, n_spatial)] = (float(loss), p)
+    try:
+        conv_mod.REFLECT_FAST_PATH = True
+        for n_data, n_spatial in ((1, 1), (1, 4)):
+            mesh = make_mesh(
+                n_data, n_spatial, devices=jax.devices()[: n_data * n_spatial]
+            )
+            step = make_e2v_train_step(cfg, tx, mesh)
+            p, o, loss = step(
+                jax.tree_util.tree_map(lambda x: x.copy(), params),
+                tx.init(params), voxel_seq, gt,
+            )
+            results[(n_data, n_spatial)] = (float(loss), p)
+    finally:
+        conv_mod.REFLECT_FAST_PATH = saved
 
     loss_1, p_1 = results[(1, 1)]
     loss_s, p_s = results[(1, 4)]
